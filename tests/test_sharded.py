@@ -1,0 +1,101 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh — the test tier the
+reference lacks entirely (SURVEY.md §4).
+
+Validates: ring halo exchange == single-device circular convolution
+(exact by construction), and the view×z sharded deconvolve == the
+single-device simultaneous-mode deconvolve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from libmultiviewnative_tpu.core.convolve import fft_convolve3d
+from libmultiviewnative_tpu.core.shapes import halo_widths
+from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+from libmultiviewnative_tpu.parallel.halo import convolve_zblock, zblock_kernel_spectrum
+from libmultiviewnative_tpu.parallel.sharded import (
+    deconvolve_sharded,
+    make_mesh,
+    shard_workspace,
+)
+from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+shard_map = jax.shard_map
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh_1d(n, name):
+    return Mesh(np.asarray(jax.devices()[:n]), (name,))
+
+
+@pytest.mark.parametrize("kshape", [(3, 3, 3), (5, 4, 3)])
+def test_zblock_convolve_matches_single_device(kshape):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(16, 8, 8)).astype(np.float32)
+    k = rng.normal(size=kshape).astype(np.float32)
+    want = np.asarray(fft_convolve3d(x, k, mode="circular"))
+
+    (lo, _, _), (hi, _, _) = halo_widths(kshape)
+    mesh = _mesh_1d(8, "z")
+
+    def f(block):
+        k_hat = zblock_kernel_spectrum(jnp.asarray(k), block.shape)
+        return convolve_zblock(block, k_hat, lo, hi, "z")
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=P("z", None, None), out_specs=P("z", None, None)
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def _sim_problem(num_views=4, shape=(16, 8, 8), seed=5):
+    rng = np.random.default_rng(seed)
+    views = rng.gamma(2.0, 20.0, (num_views,) + shape).astype(np.float32)
+    k1 = np.stack(
+        [gaussian_kernel((3, 3, 3), 0.8 + 0.2 * v) for v in range(num_views)]
+    )
+    k2 = np.flip(k1, axis=(1, 2, 3)).copy()
+    w = np.full((num_views,) + shape, 1.0 / num_views, np.float32)
+    return MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k2),
+        weights=jnp.asarray(w),
+    )
+
+
+@pytest.mark.parametrize("vp,zp", [(1, 8), (4, 2), (2, 4)])
+def test_sharded_deconvolve_matches_single_device_simultaneous(vp, zp):
+    data = _sim_problem()
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+
+    # deconvolve_jit donates its psi argument — hand it a copy
+    want = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), data, num_iterations=2, view_order="simultaneous"
+        )
+    )
+
+    mesh = make_mesh(view_parallel=vp, z_parallel=zp)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    out = np.asarray(
+        deconvolve_sharded(psi_s, data_s, num_iterations=2, mesh=mesh)
+    )
+    assert l2norm(out, want) < 1e-4
+    np.testing.assert_allclose(out, want, rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_rejects_undivisible():
+    data = _sim_problem(num_views=3)
+    psi0 = jnp.zeros((16, 8, 8), jnp.float32)
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    with pytest.raises(ValueError, match="views not divisible"):
+        deconvolve_sharded(psi0, data, 1, mesh)
