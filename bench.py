@@ -59,13 +59,23 @@ def main():
             psi0 + 0.0, data, num_iterations=iters, lam=0.006, min_value=1e-4
         )
 
-    # warmup/compile
-    run().block_until_ready()
-    reps = 3
+    def run_and_fetch():
+        # host fetch forces completion: block_until_ready alone is not
+        # trustworthy on tunneled device platforms
+        return float(jnp.sum(run()))
+
+    run_and_fetch()  # warmup/compile
+    # two-point fit removes fixed dispatch/fetch overhead (tens of ms on a
+    # tunneled chip): T(n) = a + n*b -> report b
     t0 = time.perf_counter()
-    for _ in range(reps):
-        run().block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    run_and_fetch()
+    t1 = time.perf_counter()
+    for _ in range(3):
+        run_and_fetch()
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / 2
+    if dt <= 0:  # overhead-dominated; fall back to mean
+        dt = (t2 - t0) / 4
 
     iters_per_sec = iters / dt
 

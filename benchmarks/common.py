@@ -48,17 +48,46 @@ def setup_platform(platform):
     return jax
 
 
+def _fetch(out) -> None:
+    """Force completion with a HOST FETCH.  block_until_ready alone is not
+    trustworthy on tunneled/remote device platforms (observed acking before
+    execution finished on this image's TPU tunnel); summing the first leaf
+    on device and pulling the scalar is."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        float(jnp.sum(leaves[0]))
+
+
 def time_fn(fn: Callable[[], object], repeats: int, warmup: int = 1) -> float:
     """Total wall ms for `repeats` executions (post-warmup), like the
     reference's boost timer loops around the hot section."""
-    import jax
-
     for _ in range(max(warmup, 0)):
-        jax.block_until_ready(fn())
+        _fetch(fn())
     t0 = time.perf_counter()
     for _ in range(repeats):
-        jax.block_until_ready(fn())
+        _fetch(fn())
     return 1e3 * (time.perf_counter() - t0)
+
+
+def time_fn_net(fn: Callable[[], object], repeats: int, warmup: int = 1) -> float:
+    """Per-execution ms with the fixed dispatch/fetch overhead removed via a
+    two-point fit: T(n) = a + n*b -> b.  Use when per-call RPC overhead (tens
+    of ms on tunneled devices) would swamp the kernel time."""
+    for _ in range(max(warmup, 1)):
+        _fetch(fn())
+    n1 = max(1, repeats // 4)
+    n2 = max(n1 + 1, repeats)
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        _fetch(fn())
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        _fetch(fn())
+    t2 = time.perf_counter()
+    return 1e3 * ((t2 - t1) - (t1 - t0)) / (n2 - n1)
 
 
 def emit_row(repeats: int, total_ms: float, dims: Sequence[int], comment: str) -> None:

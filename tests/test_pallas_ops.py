@@ -1,0 +1,70 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the jnp reference path.
+
+The structure mirrors the reference's device-kernels-vs-CPU-kernels tests
+(test_gpu_kernels_impl.cu:21-487), including odd/ragged sizes."""
+
+import numpy as np
+import pytest
+
+from libmultiviewnative_tpu.core.kernels import (
+    compute_quotient,
+    final_values,
+    regularized_final_values,
+)
+from libmultiviewnative_tpu.ops.pallas.elementwise import (
+    quotient_pallas,
+    rl_update_pallas,
+    spectral_multiply_pallas,
+)
+
+
+@pytest.fixture(params=[(8, 16, 16), (7, 9, 13), (3, 256, 130)])
+def vol(request, rng):
+    shape = request.param
+    return (
+        rng.gamma(2.0, 5.0, shape).astype(np.float32),
+        rng.gamma(2.0, 0.5, shape).astype(np.float32),
+        rng.uniform(0.0, 1.0, shape).astype(np.float32),
+    )
+
+
+def test_rl_update_plain_matches_jnp(vol):
+    psi, integral, w = vol
+    got = np.asarray(rl_update_pallas(psi, integral, w, 0.0, 1e-4, interpret=True))
+    want = np.asarray(final_values(psi, integral, w, 1e-4))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_rl_update_tikhonov_matches_jnp(vol):
+    psi, integral, w = vol
+    got = np.asarray(
+        rl_update_pallas(psi, integral, w, 0.006, 1e-4, interpret=True)
+    )
+    want = np.asarray(regularized_final_values(psi, integral, w, 0.006, 1e-4))
+    # sqrt lowers differently between XLA and the Pallas interpreter —
+    # single-ulp disagreements on isolated elements are expected
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=5e-5)
+
+
+def test_rl_update_edge_values():
+    psi = np.array([[1.0, 1.0, 1.0, 0.0]], np.float32)
+    integral = np.array([[np.nan, np.inf, -2.0, 3.0]], np.float32)
+    w = np.ones((1, 4), np.float32)
+    got = np.asarray(rl_update_pallas(psi, integral, w, 0.0, 1e-4, interpret=True))
+    want = np.asarray(final_values(psi, integral, w, 1e-4))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_quotient_matches_jnp(vol):
+    view, integral, _ = vol
+    got = np.asarray(quotient_pallas(view, integral, interpret=True))
+    want = np.asarray(compute_quotient(view, integral))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_spectral_multiply_matches_complex(rng):
+    shape = (4, 8, 5)
+    a = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+    b = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+    got = np.asarray(spectral_multiply_pallas(a, b, interpret=True))
+    np.testing.assert_allclose(got, a * b, rtol=1e-5, atol=1e-5)
