@@ -32,7 +32,8 @@ def np_wrap_kernel(kernel: np.ndarray, extents: Sequence[int]) -> np.ndarray:
 def np_convolve_spectrum(x: np.ndarray, k_hat: np.ndarray) -> np.ndarray:
     """Circular convolution via precomputed rfftn kernel spectrum."""
     shape = x.shape
-    return np.fft.irfftn(np.fft.rfftn(x) * k_hat, s=shape)
+    axes = tuple(range(x.ndim))
+    return np.fft.irfftn(np.fft.rfftn(x) * k_hat, s=shape, axes=axes)
 
 
 def np_final_values(
