@@ -56,7 +56,12 @@ def main():
 
     def run():
         return deconvolve_jit(
-            psi0 + 0.0, data, num_iterations=iters, lam=0.006, min_value=1e-4
+            psi0 + 0.0,
+            data,
+            num_iterations=iters,
+            lam=0.006,
+            min_value=1e-4,
+            algorithm="auto",
         )
 
     def run_and_fetch():

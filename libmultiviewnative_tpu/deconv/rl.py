@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.convolve import convolve_spectrum, direct_convolve3d
+from ..core.dft import dft3, dft_convolve_spectrum, make_plan
 from ..core.fft import rfft3
 from ..core.kernels import rl_update
 from ..core.wrap import wrap_kernel
@@ -70,6 +71,32 @@ def rl_view_step(
     integral = view * (1.0 / integral)  # compute_quotient, inc/cpu_kernels.h:20-26
     integral = convolve_spectrum(integral, k2_hat)
     return rl_update(psi, integral, weights, lam, min_value)
+
+
+def rl_view_step_dft(
+    psi: jnp.ndarray,
+    view: jnp.ndarray,
+    k1_split: Tuple[jnp.ndarray, jnp.ndarray],
+    k2_split: Tuple[jnp.ndarray, jnp.ndarray],
+    weights: jnp.ndarray,
+    lam: float,
+    min_value: float,
+) -> jnp.ndarray:
+    """Same update with the MXU dense-DFT engine (core.dft) — the fast path
+    on TPU, where XLA's FFT op runs far below matmul peak."""
+    integral = dft_convolve_spectrum(psi, k1_split[0], k1_split[1])
+    integral = view * (1.0 / integral)
+    integral = dft_convolve_spectrum(integral, k2_split[0], k2_split[1])
+    return rl_update(psi, integral, weights, lam, min_value)
+
+
+def prepare_spectra_split(
+    kernels: jnp.ndarray, spatial_shape: Tuple[int, ...]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched wrapped-kernel spectra in the split (re, im) dft3 layout."""
+    plan = make_plan(tuple(int(s) for s in spatial_shape))
+    wrapped = jax.vmap(lambda k: wrap_kernel(k, spatial_shape))(kernels)
+    return dft3(wrapped, plan)
 
 
 def rl_view_step_direct(
@@ -110,11 +137,18 @@ def deconvolve(
     ``algorithm`` are trace-time constants.
     """
     spatial = tuple(psi.shape[-3:])
-    use_fft = algorithm == "fft"
-    if use_fft:
+    if algorithm == "auto":
+        # measured on TPU v5e: the MXU dense DFT beats XLA's FFT op up to
+        # ~256 per axis; beyond that its O(N^4)-per-axis FLOPs lose.
+        algorithm = "dft" if max(spatial) <= 256 else "fft"
+    if algorithm == "fft":
         k1 = prepare_spectra(data.kernel1, spatial)
         k2 = prepare_spectra(data.kernel2, spatial)
         step = rl_view_step
+    elif algorithm == "dft":
+        k1 = prepare_spectra_split(data.kernel1, spatial)
+        k2 = prepare_spectra_split(data.kernel2, spatial)
+        step = rl_view_step_dft
     elif algorithm == "direct":
         k1, k2 = data.kernel1, data.kernel2
         step = rl_view_step_direct
