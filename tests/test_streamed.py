@@ -1,0 +1,41 @@
+"""Out-of-core streamed deconvolve must match the in-core path exactly
+(the contract the reference's interleaved mode is held to in
+test_gpu_deconvolve_impl.cu:28-333)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+from libmultiviewnative_tpu.deconv.streamed import deconvolve_streamed
+from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+
+@pytest.mark.parametrize("chunk_z", [4, 5, 16])
+def test_streamed_matches_incore(chunk_z, rng):
+    shape = (16, 12, 12)
+    V = 2
+    views = [rng.gamma(2.0, 20.0, shape).astype(np.float32) for _ in range(V)]
+    k1s = [gaussian_kernel((5, 5, 5), 1.0 + 0.3 * v) for v in range(V)]
+    k2s = [np.flip(k).copy() for k in k1s]
+    ws = [np.full(shape, 1.0 / V, np.float32) for _ in range(V)]
+    psi0 = np.full(shape, float(np.mean(views)), np.float32)
+
+    got = deconvolve_streamed(
+        psi0, views, k1s, k2s, ws, num_iterations=2, lam=0.006, chunk_z=chunk_z
+    )
+
+    data = MultiViewData(
+        views=jnp.asarray(np.stack(views)),
+        kernel1=jnp.asarray(np.stack(k1s)),
+        kernel2=jnp.asarray(np.stack(k2s)),
+        weights=jnp.asarray(np.stack(ws)),
+    )
+    want = np.asarray(
+        deconvolve_jit(jnp.asarray(psi0), data, num_iterations=2, lam=0.006)
+    )
+    assert l2norm(got, want) < 1e-5
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
