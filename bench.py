@@ -26,6 +26,18 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the plan-store analog — first run pays
+    # the (minutes-long on a tunneled chip) compile, reruns start hot
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
