@@ -41,10 +41,22 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def setup_platform(platform):
+    import os
+
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    # persistent compilation cache (plan-store analog): reruns start hot
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     return jax
 
 

@@ -44,8 +44,17 @@ from .core.convolve import (
     direct_convolve3d,
     fft_convolve3d,
 )
-from .deconv.workspace import MultiViewData, View, Workspace
+from .core.dft import (
+    dft3,
+    dft_convolve_spectrum,
+    idft3,
+    kernel_spectrum_split,
+    make_plan,
+)
+from .deconv.workspace import MultiViewData, View, Workspace, initial_psi
 from .deconv.rl import deconvolve, deconvolve_jit, rl_view_step
+from .deconv.dispatch import deconvolve_auto
+from .deconv.streamed import deconvolve_streamed
 
 __version__ = "0.1.0"
 
@@ -75,7 +84,15 @@ __all__ = [
     "MultiViewData",
     "View",
     "Workspace",
+    "initial_psi",
     "deconvolve",
     "deconvolve_jit",
+    "deconvolve_auto",
+    "deconvolve_streamed",
     "rl_view_step",
+    "dft3",
+    "idft3",
+    "make_plan",
+    "dft_convolve_spectrum",
+    "kernel_spectrum_split",
 ]
