@@ -58,6 +58,44 @@ def read_shape_sidecar(path: str):
         return tuple(int(t) for t in f.read().split())
 
 
+def save_stack_h5(path: str, chunks_z: int = 16, **stacks: np.ndarray) -> None:
+    """HDF5 container with z-chunked layout — the storage side of the
+    out-of-core streamed path (deconv.streamed reads z-chunks; chunked
+    HDF5 makes those reads O(chunk))."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for name, a in stacks.items():
+            a = np.asarray(a, np.float32)
+            cz = min(chunks_z, a.shape[0]) if a.ndim == 3 else None
+            f.create_dataset(
+                name,
+                data=a,
+                chunks=(cz,) + a.shape[1:] if cz else None,
+                compression="gzip",
+                compression_opts=1,
+            )
+
+
+def load_stack_h5(path: str, name: Optional[str] = None):
+    """Load one dataset (or a dict of all) from an HDF5 stack file."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if name is not None:
+            return np.asarray(f[name])
+        return {k: np.asarray(f[k]) for k in f.keys()}
+
+
+def open_stack_h5(path: str, name: str):
+    """Open a dataset handle for chunked (out-of-core) reads; caller must
+    keep the returned file object alive.  Returns (file, dataset)."""
+    import h5py
+
+    f = h5py.File(path, "r")
+    return f, f[name]
+
+
 def save_stack_npz(path: str, **stacks: np.ndarray) -> None:
     """Compressed NPZ container for stacks (the in-repo golden format)."""
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in stacks.items()})
