@@ -1,4 +1,5 @@
-"""MXU-native 3D real convolution transform: DFT by dense matmuls.
+"""MXU-native 3D real convolution transform: DFT by dense matmuls,
+with a mixed-radix (Cooley-Tukey) split for long axes.
 
 The reference's FFT engines delegate to FFTW/cuFFT
 (/root/reference/inc/fft_utils.h, inc/cufft_utils.cuh).  On TPU, XLA's FFT
@@ -20,6 +21,13 @@ All twiddle matrices are built once per shape in float64 and cast to f32
 (a ``DFTPlan``); einsums run with ``precision=HIGHEST`` so the MXU uses
 full f32 accumulation.  This is the plan-store analog done the TPU way:
 the "plan" is a pytree of constant matrices captured by jit.
+
+Long axes (N > _DENSE_LIMIT) use one decimation-in-time split N = R * M:
+reshape the axis to (M, R) [n = R*m + r], dense M-point DFT per residue
+class (a full-contraction matmul, MXU-friendly), twiddle by
+e^{-2 pi i r p / N}, then an R-point combine (R small, an einsum over a
+tiny R x R DFT).  FLOPs per axis drop from N^2 to ~N*M while every matmul
+keeps a >=128 contraction.
 """
 
 from __future__ import annotations
@@ -50,6 +58,35 @@ def _EINSUM(*args, **kw):
     return jnp.einsum(*args, precision=_PREC, **kw)
 
 
+_DENSE_LIMIT = 256  # above this an axis uses the mixed-radix split
+
+
+class AxisPlan(NamedTuple):
+    """One axis of a full-complex transform: dense or split (N = R*M)."""
+
+    n: int
+    kind: str  # 'dense' | 'split'
+    cm: jnp.ndarray  # dense: (N, N) cos; split: (M, M) cos
+    sm: jnp.ndarray  # matching sin
+    twc: jnp.ndarray  # split twiddles (R, M) cos; dense: unused (1,1)
+    tws: jnp.ndarray
+    oc: jnp.ndarray  # split combine (R, R) cos; dense: unused
+    osn: jnp.ndarray
+    r: int
+    m: int
+
+
+class FullDFTPlan(NamedTuple):
+    """Full-complex 3D plan for long-axis shapes (any axis > _DENSE_LIMIT).
+
+    The x axis carries the FULL spectrum (no hermitian halving) so every
+    axis can use the same dense/split machinery; the inverse still emits
+    the real volume directly."""
+
+    axes: Tuple[AxisPlan, AxisPlan, AxisPlan]  # (z, y, x)
+    shape: Tuple[int, int, int]
+
+
 class DFTPlan(NamedTuple):
     """Constant twiddle matrices for one (z, y, x) spatial shape."""
 
@@ -71,8 +108,57 @@ class DFTPlan(NamedTuple):
         return self.fcx.shape[1]
 
 
+def _pick_split(n: int):
+    """Choose N = R*M with M as close to the MXU-sweet 128 as possible
+    (64 <= M <= _DENSE_LIMIT, R <= 16).  None -> stay dense."""
+    best = None
+    for r in range(2, 17):
+        if n % r:
+            continue
+        m = n // r
+        if 64 <= m <= _DENSE_LIMIT:
+            score = abs(m - 128)
+            if best is None or score < best[0]:
+                best = (score, r, m)
+    return None if best is None else (best[1], best[2])
+
+
+def _axis_plan(n: int, dtype) -> AxisPlan:
+    f32 = lambda a: jnp.asarray(a, dtype)
+
+    def cs(a, b, denom):
+        theta = 2.0 * np.pi * np.outer(np.arange(a), np.arange(b)) / denom
+        return np.cos(theta), np.sin(theta)
+
+    split = _pick_split(n) if n > _DENSE_LIMIT else None
+    if split is None:
+        c, s = cs(n, n, n)
+        one = jnp.zeros((1, 1), dtype)
+        return AxisPlan(n, "dense", f32(c), f32(s), one, one, one, one, 1, n)
+    r, m = split
+    cm, sm = cs(m, m, m)
+    twc, tws = cs(r, m, n)  # e^{-2 pi i r p / N}
+    oc, osn = cs(r, r, r)
+    return AxisPlan(
+        n, "split", f32(cm), f32(sm), f32(twc), f32(tws), f32(oc), f32(osn), r, m
+    )
+
+
 @functools.lru_cache(maxsize=64)
-def make_plan(shape: Tuple[int, int, int], dtype=jnp.float32) -> DFTPlan:
+def make_plan(shape: Tuple[int, int, int], dtype=jnp.float32):
+    """Build the transform plan for a (z, y, x) shape: compact rfft-style
+    (all axes dense, hermitian-halved x) when every axis fits the dense
+    limit, else a FullDFTPlan with per-axis dense/split stages."""
+    z, y, x = (int(s) for s in shape)
+    if max(z, y, x) > _DENSE_LIMIT:
+        return FullDFTPlan(
+            axes=(_axis_plan(z, dtype), _axis_plan(y, dtype), _axis_plan(x, dtype)),
+            shape=(z, y, x),
+        )
+    return _make_compact_plan((z, y, x), dtype)
+
+
+def _make_compact_plan(shape: Tuple[int, int, int], dtype=jnp.float32) -> DFTPlan:
     z, y, x = (int(s) for s in shape)
     kx = x // 2 + 1
 
@@ -106,9 +192,123 @@ def make_plan(shape: Tuple[int, int, int], dtype=jnp.float32) -> DFTPlan:
     )
 
 
-def dft3(x: jnp.ndarray, plan: DFTPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward 3D real DFT over trailing (z, y, x) axes -> (re, im) with the
-    last axis reduced to x//2+1 (numpy rfftn layout)."""
+# ---------------------------------------------------------------------------
+# Full-complex per-axis machinery (long-axis mode)
+# ---------------------------------------------------------------------------
+
+
+def _reshape_axis(a, pos: int, new_dims):
+    """Replace the axis at position `pos` from the END with `new_dims`."""
+    idx = a.ndim - pos
+    return a.reshape(a.shape[:idx] + tuple(new_dims) + a.shape[idx + 1 :])
+
+
+def _merge_axis_pair(a, pos: int, n: int):
+    """Merge the two adjacent axes ending at position `pos` from the END
+    (i.e. axes at indices ndim-pos-1 and ndim-pos) into one of size n."""
+    idx = a.ndim - pos - 1
+    return a.reshape(a.shape[:idx] + (n,) + a.shape[idx + 2 :])
+
+
+def _axis_fwd(re, im, ap: AxisPlan, pos: int):
+    """Forward DFT along the axis `pos` counted from the end (1 = last).
+    `im is None` marks real input (first transformed axis)."""
+    tail = "ab"[: pos - 1]
+    if ap.kind == "dense":
+        spec = f"...m{tail},mp->...p{tail}"
+        nre = _EINSUM(spec, re, ap.cm)
+        nim = -_EINSUM(spec, re, ap.sm)
+        if im is not None:
+            nre = nre + _EINSUM(spec, im, ap.sm)
+            nim = nim + _EINSUM(spec, im, ap.cm)
+        return nre, nim
+    R, M = ap.r, ap.m
+    # n = R*m + r: reshape axis N -> (M, R)
+    re2 = _reshape_axis(re, pos, (M, R))
+    im2 = None if im is None else _reshape_axis(im, pos, (M, R))
+    spec1 = f"...mr{tail},mp->...rp{tail}"
+    fre = _EINSUM(spec1, re2, ap.cm)
+    fim = -_EINSUM(spec1, re2, ap.sm)
+    if im2 is not None:
+        fre = fre + _EINSUM(spec1, im2, ap.sm)
+        fim = fim + _EINSUM(spec1, im2, ap.cm)
+    # twiddle e^{-2 pi i r p / N}
+    bshape = (R, M) + (1,) * (pos - 1)
+    twc = ap.twc.reshape(bshape)
+    tws = ap.tws.reshape(bshape)
+    gre = fre * twc + fim * tws
+    gim = fim * twc - fre * tws
+    # R-point combine: X[q, p] = sum_r G[r, p] e^{-2 pi i r q / R}
+    spec2 = f"...rp{tail},rq->...qp{tail}"
+    xre = _EINSUM(spec2, gre, ap.oc) + _EINSUM(spec2, gim, ap.osn)
+    xim = _EINSUM(spec2, gim, ap.oc) - _EINSUM(spec2, gre, ap.osn)
+    # (q, p) -> k = q*M + p
+    return (
+        _merge_axis_pair(xre, pos, ap.n),
+        _merge_axis_pair(xim, pos, ap.n),
+    )
+
+
+def _axis_inv(re, im, ap: AxisPlan, pos: int, real_out: bool = False):
+    """Inverse DFT along axis `pos` from the end, scaling by 1/N.  With
+    real_out, only the real plane of the result is produced."""
+    tail = "ab"[: pos - 1]
+    inv_n = 1.0 / ap.n
+    if ap.kind == "dense":
+        spec = f"...p{tail},pm->...m{tail}"
+        nre = (_EINSUM(spec, re, ap.cm) - _EINSUM(spec, im, ap.sm)) * inv_n
+        if real_out:
+            return nre, None
+        nim = (_EINSUM(spec, im, ap.cm) + _EINSUM(spec, re, ap.sm)) * inv_n
+        return nre, nim
+    R, M = ap.r, ap.m
+    # k -> (q, p)
+    re2 = _reshape_axis(re, pos, (R, M))
+    im2 = _reshape_axis(im, pos, (R, M))
+    # combine over q with e^{+2 pi i r q / R}
+    spec2 = f"...qp{tail},qr->...rp{tail}"
+    hre = _EINSUM(spec2, re2, ap.oc) - _EINSUM(spec2, im2, ap.osn)
+    him = _EINSUM(spec2, im2, ap.oc) + _EINSUM(spec2, re2, ap.osn)
+    # conjugate twiddle e^{+2 pi i r p / N}
+    bshape = (R, M) + (1,) * (pos - 1)
+    twc = ap.twc.reshape(bshape)
+    tws = ap.tws.reshape(bshape)
+    gre = hre * twc - him * tws
+    gim = him * twc + hre * tws
+    # M-point inverse over p, emitting (m, r) so the flatten is n = R*m + r
+    spec1 = f"...rp{tail},pm->...mr{tail}"
+    nre = (_EINSUM(spec1, gre, ap.cm) - _EINSUM(spec1, gim, ap.sm)) * inv_n
+    nre = _merge_axis_pair(nre, pos, ap.n)
+    if real_out:
+        return nre, None
+    nim = (_EINSUM(spec1, gim, ap.cm) + _EINSUM(spec1, gre, ap.sm)) * inv_n
+    return nre, _merge_axis_pair(nim, pos, ap.n)
+
+
+def _dft3_full(x: jnp.ndarray, plan: FullDFTPlan):
+    azp, ayp, axp = plan.axes
+    re, im = _axis_fwd(x, None, axp, 1)  # x (real input)
+    re, im = _axis_fwd(re, im, ayp, 2)  # y
+    re, im = _axis_fwd(re, im, azp, 3)  # z
+    return re, im
+
+
+def _idft3_full(re, im, plan: FullDFTPlan):
+    azp, ayp, axp = plan.axes
+    re, im = _axis_inv(re, im, azp, 3)
+    re, im = _axis_inv(re, im, ayp, 2)
+    out, _ = _axis_inv(re, im, axp, 1, real_out=True)
+    return out
+
+
+def dft3(x: jnp.ndarray, plan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward 3D real DFT over trailing (z, y, x) axes -> (re, im).
+
+    Compact plans emit the hermitian-halved rfftn layout (last axis
+    x//2+1); FullDFTPlan (any axis > _DENSE_LIMIT) emits the full
+    spectrum."""
+    if isinstance(plan, FullDFTPlan):
+        return _dft3_full(x, plan)
     # x axis (real input): re/im = x @ [cos, -sin]
     re = _EINSUM("...zyx,xk->...zyk", x, plan.fcx)
     im = _EINSUM("...zyx,xk->...zyk", x, plan.fsx)
@@ -129,8 +329,10 @@ def dft3(x: jnp.ndarray, plan: DFTPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return re, im
 
 
-def idft3(re: jnp.ndarray, im: jnp.ndarray, plan: DFTPlan) -> jnp.ndarray:
+def idft3(re: jnp.ndarray, im: jnp.ndarray, plan) -> jnp.ndarray:
     """Inverse of :func:`dft3`, returning the real volume directly."""
+    if isinstance(plan, FullDFTPlan):
+        return _idft3_full(re, im, plan)
     z, y, _ = plan.shape
     # z axis: (C + iS)/N
     re, im = (

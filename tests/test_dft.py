@@ -62,6 +62,41 @@ def test_dft_convolve_batched(rng):
         np.testing.assert_allclose(got[i], single, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "shape", [(4, 8, 288), (272, 4, 8), (4, 320, 8), (6, 300, 8)]
+)
+def test_mixed_radix_full_mode_matches_numpy(shape, rng):
+    # axes > 256 trigger the FullDFTPlan (split Cooley-Tukey stage)
+    from libmultiviewnative_tpu.core.dft import FullDFTPlan
+
+    x = rng.normal(size=shape).astype(np.float32)
+    plan = make_plan(shape)
+    assert isinstance(plan, FullDFTPlan)
+    re, im = dft3(jnp.asarray(x), plan)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.fft.fftn(x.astype(np.float64))
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-5
+    back = np.asarray(idft3(re, im, plan))
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_mixed_radix_convolve_matches_fft_engine(rng):
+    x = rng.normal(size=(8, 8, 280)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 5)).astype(np.float32)
+    kre, kim = kernel_spectrum_split(jnp.asarray(k), (8, 8, 280))
+    got = np.asarray(dft_convolve_spectrum(jnp.asarray(x), kre, kim))
+    want = np.asarray(fft_convolve3d(x, k, mode="circular"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pick_split_prefers_mxu_m():
+    from libmultiviewnative_tpu.core.dft import _pick_split
+
+    assert _pick_split(512) == (4, 128)
+    assert _pick_split(384) == (3, 128)
+    assert _pick_split(521) is None  # prime beyond the table -> dense
+
+
 def test_deconvolve_dft_algorithm_matches_fft(rng):
     shape = (16, 16, 16)
     V = 2
