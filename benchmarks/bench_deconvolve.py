@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--engine", choices=["fft", "dft", "direct"], default="fft")
     p.add_argument("--sharded", default=None,
                    help="VxZ mesh, e.g. 2x4 (requires that many devices)")
+    p.add_argument("--uniform_weights", action="store_true",
+                   help="per-view scalar weights 1/V (no weight stacks in HBM)")
+    p.add_argument("--adjoint_kernel2", action="store_true",
+                   help="kernel2 = flip(kernel1): reuse conj spectra")
     args = p.parse_args(argv)
     jax = setup_platform(args.platform)
     import jax.numpy as jnp
@@ -51,6 +55,15 @@ def main(argv=None):
     )
     ws = Workspace.from_views(views, lambda_=args.lambda_,
                               num_iterations=args.iterations)
+    if args.uniform_weights:
+        from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+
+        ws.data = MultiViewData(
+            views=ws.data.views,
+            kernel1=ws.data.kernel1,
+            kernel2=ws.data.kernel2,
+            weights=jnp.full((args.num_views,), 1.0 / args.num_views, jnp.float32),
+        )
     psi0 = jax.block_until_ready(initial_psi(ws.data, "average"))
 
     if args.sharded:
@@ -81,6 +94,7 @@ def main(argv=None):
                 lam=args.lambda_,
                 view_order=args.view_order,
                 algorithm=args.engine,
+                adjoint_kernel2=args.adjoint_kernel2,
             )
 
     total_ms = time_fn(fn, args.repeats, args.warmup)

@@ -148,14 +148,23 @@ def _axis_plan(n: int, dtype) -> AxisPlan:
 def make_plan(shape: Tuple[int, int, int], dtype=jnp.float32):
     """Build the transform plan for a (z, y, x) shape: compact rfft-style
     (all axes dense, hermitian-halved x) when every axis fits the dense
-    limit, else a FullDFTPlan with per-axis dense/split stages."""
+    limit, else a FullDFTPlan with per-axis dense/split stages.
+
+    Built under ensure_compile_time_eval so the cached constant matrices
+    are real arrays even when first requested inside a jit trace (the
+    lru_cache must never capture tracers)."""
     z, y, x = (int(s) for s in shape)
-    if max(z, y, x) > _DENSE_LIMIT:
-        return FullDFTPlan(
-            axes=(_axis_plan(z, dtype), _axis_plan(y, dtype), _axis_plan(x, dtype)),
-            shape=(z, y, x),
-        )
-    return _make_compact_plan((z, y, x), dtype)
+    with jax.ensure_compile_time_eval():
+        if max(z, y, x) > _DENSE_LIMIT:
+            return FullDFTPlan(
+                axes=(
+                    _axis_plan(z, dtype),
+                    _axis_plan(y, dtype),
+                    _axis_plan(x, dtype),
+                ),
+                shape=(z, y, x),
+            )
+        return _make_compact_plan((z, y, x), dtype)
 
 
 def _make_compact_plan(shape: Tuple[int, int, int], dtype=jnp.float32) -> DFTPlan:

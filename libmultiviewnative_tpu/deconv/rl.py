@@ -128,6 +128,7 @@ def deconvolve(
     min_value: float = 1e-4,
     view_order: str = "sequential",
     algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
 ) -> jnp.ndarray:
     """Run ``num_iterations`` RL sweeps over all views.
 
@@ -135,22 +136,48 @@ def deconvolve(
     view-by-view update order exactly (src/multiviewnative.cpp:191-228).
     ``num_iterations``, ``lam``, ``min_value``, ``view_order`` and
     ``algorithm`` are trace-time constants.
+
+    ``adjoint_kernel2=True`` declares kernel2 == flip(kernel1) (the plain
+    per-view RL adjoint): kernel2 spectra are then the CONJUGATE of the
+    kernel1 spectra — data.kernel2 is ignored, halving kernel-spectrum HBM
+    and kernel FFT work.  Weights may be full per-voxel stacks (V, Z, Y, X)
+    or per-view scalars (V,) — the uniform-blending case costs no HBM.
     """
     spatial = tuple(psi.shape[-3:])
+    if adjoint_kernel2 and algorithm != "direct":
+        # conj(spectrum) == spectrum-of-flipped only when the flip preserves
+        # the k//2 center voxel, i.e. odd dims (inc/padd_utils.h:25-27
+        # floor-center convention)
+        if any(int(d) % 2 == 0 for d in data.kernel1.shape[-3:]):
+            raise ValueError(
+                "adjoint_kernel2 requires odd kernel1 dims; got "
+                f"{tuple(data.kernel1.shape[-3:])}"
+            )
     if algorithm == "auto":
         # measured on TPU v5e: the MXU dense DFT beats XLA's FFT op up to
         # ~256 per axis; beyond that its O(N^4)-per-axis FLOPs lose.
         algorithm = "dft" if max(spatial) <= 256 else "fft"
     if algorithm == "fft":
         k1 = prepare_spectra(data.kernel1, spatial)
-        k2 = prepare_spectra(data.kernel2, spatial)
+        k2 = jnp.conj(k1) if adjoint_kernel2 else prepare_spectra(
+            data.kernel2, spatial
+        )
         step = rl_view_step
     elif algorithm == "dft":
         k1 = prepare_spectra_split(data.kernel1, spatial)
-        k2 = prepare_spectra_split(data.kernel2, spatial)
+        k2 = (
+            (k1[0], -k1[1])
+            if adjoint_kernel2
+            else prepare_spectra_split(data.kernel2, spatial)
+        )
         step = rl_view_step_dft
     elif algorithm == "direct":
-        k1, k2 = data.kernel1, data.kernel2
+        k1 = data.kernel1
+        k2 = (
+            jnp.flip(data.kernel1, axis=(-3, -2, -1))
+            if adjoint_kernel2
+            else data.kernel2
+        )
         step = rl_view_step_direct
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -187,7 +214,14 @@ def deconvolve(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iterations", "lam", "min_value", "view_order", "algorithm"),
+    static_argnames=(
+        "num_iterations",
+        "lam",
+        "min_value",
+        "view_order",
+        "algorithm",
+        "adjoint_kernel2",
+    ),
     donate_argnums=(0,),
 )
 def deconvolve_jit(
@@ -198,11 +232,19 @@ def deconvolve_jit(
     min_value: float = 1e-4,
     view_order: str = "sequential",
     algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
 ) -> jnp.ndarray:
     """Jitted :func:`deconvolve`; psi is donated (the in-place semantics of
     the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55)."""
     return deconvolve(
-        psi, data, num_iterations, lam, min_value, view_order, algorithm
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
     )
 
 

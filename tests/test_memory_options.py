@@ -1,0 +1,67 @@
+"""HBM-saving option tests: adjoint_kernel2 conj-spectrum reuse and
+per-view scalar weights must be exact vs the explicit forms."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+
+def _base(rng, V=2, shape=(12, 12, 12), kshape=(5, 5, 5)):
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    k1 = np.stack([gaussian_kernel(kshape, 1.0 + 0.3 * v) for v in range(V)])
+    k2 = np.flip(k1, axis=(1, 2, 3)).copy()
+    return views, k1, k2
+
+
+@pytest.mark.parametrize("algorithm", ["fft", "dft", "direct"])
+def test_adjoint_kernel2_matches_explicit_flip(rng, algorithm):
+    views, k1, k2 = _base(rng)
+    V, shape = 2, (12, 12, 12)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+
+    explicit = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                             jnp.asarray(k2), jnp.asarray(w))
+    a = np.asarray(deconvolve_jit(psi0.copy(), explicit, 2, algorithm=algorithm))
+    b = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), explicit, 2, algorithm=algorithm, adjoint_kernel2=True
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_adjoint_kernel2_rejects_even_dims(rng):
+    views, k1, k2 = _base(rng, kshape=(4, 5, 5))
+    data = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.full((2, 12, 12, 12), 0.5, jnp.float32),
+    )
+    psi0 = jnp.full((12, 12, 12), 1.0, jnp.float32)
+    with pytest.raises(ValueError, match="odd kernel1 dims"):
+        deconvolve_jit(psi0, data, 1, adjoint_kernel2=True)
+
+
+@pytest.mark.parametrize("view_order", ["sequential", "simultaneous"])
+def test_scalar_weights_match_full_stacks(rng, view_order):
+    views, k1, k2 = _base(rng)
+    V, shape = 2, (12, 12, 12)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+
+    full = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.full((V,) + shape, 1.0 / V, jnp.float32),
+    )
+    scalar = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.full((V,), 1.0 / V, jnp.float32),
+    )
+    a = np.asarray(deconvolve_jit(psi0.copy(), full, 2, view_order=view_order))
+    b = np.asarray(deconvolve_jit(psi0.copy(), scalar, 2, view_order=view_order))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
