@@ -65,6 +65,12 @@ MVN_API void inplace_gpu_convolution(imageType* im, int* imDim,
 MVN_API void convolution3DfftCUDAInPlace(imageType* im, int* imDim,
                                          imageType* kernel, int* kernelDim,
                                          int devCUDA);
+/* _core variant of the legacy path (reference .h:79-84 operates on
+ * device-resident pointers; no host/device split exists here, so it is the
+ * same operation). */
+MVN_API void convolution3DfftCUDAInPlace_core(imageType* im, int* imDim,
+                                              imageType* kernel,
+                                              int* kernelDim, int devCUDA);
 
 /* single-step helpers (reference .h:84-97) */
 MVN_API void compute_quotient(imageType* input, imageType* output, size_t size,

@@ -198,6 +198,12 @@ void convolution3DfftCUDAInPlace(imageType* im, int* imDim, imageType* kernel,
   inplace_cpu_convolution(im, imDim, kernel, kernelDim, devCUDA);
 }
 
+void convolution3DfftCUDAInPlace_core(imageType* im, int* imDim,
+                                      imageType* kernel, int* kernelDim,
+                                      int devCUDA) {
+  inplace_cpu_convolution(im, imDim, kernel, kernelDim, devCUDA);
+}
+
 void compute_quotient(imageType* input, imageType* output, size_t size,
                       int device) {
   (void)device;
