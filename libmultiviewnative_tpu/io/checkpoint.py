@@ -69,6 +69,43 @@ class CheckpointManager:
         return best, self.load(best)
 
 
+def deconvolve_resilient(
+    psi: np.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    manager: CheckpointManager,
+    max_retries: int = 3,
+    on_failure=None,
+    **kw,
+):
+    """Checkpointed deconvolve that survives device/runtime failures.
+
+    The failure-recovery tier the reference lacks entirely (SURVEY.md §5:
+    its only resilience is NaN clamping).  On a runtime error (e.g. a TPU
+    worker crash/restart) the JAX backends are cleared, device state is
+    re-established, and the run resumes from the newest psi_i snapshot.
+    ``on_failure(exc, attempt)`` is an optional observer hook.
+    """
+    attempt = 0
+    while True:
+        try:
+            return deconvolve_checkpointed(
+                psi, data, num_iterations, manager, resume=True, **kw
+            )
+        except Exception as exc:  # jax runtime errors don't share one base
+            attempt += 1
+            if on_failure is not None:
+                on_failure(exc, attempt)
+            if attempt > max_retries:
+                raise
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
+
+
 def deconvolve_checkpointed(
     psi: np.ndarray,
     data: MultiViewData,

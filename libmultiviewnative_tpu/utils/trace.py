@@ -50,6 +50,28 @@ def profile_region(name: str, logdir: Optional[str] = None) -> Iterator[None]:
 
 
 @contextlib.contextmanager
+def debug_context(
+    nan_checks: bool = True, disable_jit: bool = False
+) -> Iterator[None]:
+    """Numerical-debugging scope — the sanitizer tier the reference lacks
+    (SURVEY.md §5 "race detection/sanitizers: none").  Enables jax NaN
+    checking (every primitive output scanned, error at the producing op)
+    and optionally interpreted execution for step-through debugging."""
+    import jax
+
+    prev_nans = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", nan_checks)
+    try:
+        if disable_jit:
+            with jax.disable_jit():
+                yield
+        else:
+            yield
+    finally:
+        jax.config.update("jax_debug_nans", prev_nans)
+
+
+@contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
     """Named region inside an existing profiler trace (shows up on the
     TensorBoard timeline)."""
