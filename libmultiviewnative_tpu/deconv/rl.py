@@ -39,9 +39,31 @@ from jax import lax
 from ..core.convolve import convolve_spectrum, direct_convolve3d
 from ..core.dft import dft3, dft_convolve_spectrum, make_plan
 from ..core.fft import rfft3
-from ..core.kernels import rl_update
+from ..core.kernels import rl_update as _rl_update_jnp
 from ..core.wrap import wrap_kernel
 from .workspace import MultiViewData, Workspace
+
+rl_update = _rl_update_jnp
+
+
+def _select_rl_update(elementwise: str):
+    """'jnp' = fused-by-XLA chain (default); 'pallas' = the explicit
+    single-pass VMEM kernel (ops.pallas.elementwise)."""
+    if elementwise == "jnp":
+        return _rl_update_jnp
+    if elementwise == "pallas":
+        from ..ops.pallas.elementwise import rl_update_pallas
+
+        interp = jax.default_backend() == "cpu"  # Mosaic needs a TPU
+
+        def update(psi, integral, weights, lam, min_value):
+            w = jnp.broadcast_to(weights, psi.shape)
+            return rl_update_pallas(
+                psi, integral, w, lam, min_value, interpret=interp
+            )
+
+        return update
+    raise ValueError(f"unknown elementwise {elementwise!r}")
 
 
 def prepare_spectra(
@@ -65,12 +87,13 @@ def rl_view_step(
     weights: jnp.ndarray,
     lam: float,
     min_value: float,
+    update_fn=_rl_update_jnp,
 ) -> jnp.ndarray:
     """One view's multiplicative update (src/multiviewnative.cpp:191-228)."""
     integral = convolve_spectrum(psi, k1_hat)
     integral = view * (1.0 / integral)  # compute_quotient, inc/cpu_kernels.h:20-26
     integral = convolve_spectrum(integral, k2_hat)
-    return rl_update(psi, integral, weights, lam, min_value)
+    return update_fn(psi, integral, weights, lam, min_value)
 
 
 def rl_view_step_dft(
@@ -81,13 +104,14 @@ def rl_view_step_dft(
     weights: jnp.ndarray,
     lam: float,
     min_value: float,
+    update_fn=_rl_update_jnp,
 ) -> jnp.ndarray:
     """Same update with the MXU dense-DFT engine (core.dft) — the fast path
     on TPU, where XLA's FFT op runs far below matmul peak."""
     integral = dft_convolve_spectrum(psi, k1_split[0], k1_split[1])
     integral = view * (1.0 / integral)
     integral = dft_convolve_spectrum(integral, k2_split[0], k2_split[1])
-    return rl_update(psi, integral, weights, lam, min_value)
+    return update_fn(psi, integral, weights, lam, min_value)
 
 
 def prepare_spectra_split(
@@ -107,6 +131,7 @@ def rl_view_step_direct(
     weights: jnp.ndarray,
     lam: float,
     min_value: float,
+    update_fn=_rl_update_jnp,
 ) -> jnp.ndarray:
     """Same update with the MXU stencil engine instead of FFTs.
 
@@ -117,7 +142,7 @@ def rl_view_step_direct(
     integral = direct_convolve3d(psi, kernel1, mode="circular")
     integral = view * (1.0 / integral)
     integral = direct_convolve3d(integral, kernel2, mode="circular")
-    return rl_update(psi, integral, weights, lam, min_value)
+    return update_fn(psi, integral, weights, lam, min_value)
 
 
 def deconvolve(
@@ -129,6 +154,7 @@ def deconvolve(
     view_order: str = "sequential",
     algorithm: str = "fft",
     adjoint_kernel2: bool = False,
+    elementwise: str = "jnp",
 ) -> jnp.ndarray:
     """Run ``num_iterations`` RL sweeps over all views.
 
@@ -182,11 +208,13 @@ def deconvolve(
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
+    update_fn = _select_rl_update(elementwise)
+
     if view_order == "sequential":
 
         def view_body(p, xs):
             view, k1v, k2v, w = xs
-            return step(p, view, k1v, k2v, w, lam, min_value), None
+            return step(p, view, k1v, k2v, w, lam, min_value, update_fn), None
 
         def sweep(p, _):
             p, _ = lax.scan(view_body, p, (data.views, k1, k2, data.weights))
@@ -196,7 +224,7 @@ def deconvolve(
 
         def sweep(p, _):
             new = jax.vmap(
-                lambda v, a, b, w: step(p, v, a, b, w, lam, min_value)
+                lambda v, a, b, w: step(p, v, a, b, w, lam, min_value, update_fn)
             )(data.views, k1, k2, data.weights)
             # additive blend of per-view weighted updates; for weights that
             # sum to 1 across views this is the natural batched counterpart
@@ -221,6 +249,7 @@ def deconvolve(
         "view_order",
         "algorithm",
         "adjoint_kernel2",
+        "elementwise",
     ),
     donate_argnums=(0,),
 )
@@ -233,6 +262,7 @@ def deconvolve_jit(
     view_order: str = "sequential",
     algorithm: str = "fft",
     adjoint_kernel2: bool = False,
+    elementwise: str = "jnp",
 ) -> jnp.ndarray:
     """Jitted :func:`deconvolve`; psi is donated (the in-place semantics of
     the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55)."""
@@ -245,6 +275,7 @@ def deconvolve_jit(
         view_order,
         algorithm,
         adjoint_kernel2,
+        elementwise,
     )
 
 

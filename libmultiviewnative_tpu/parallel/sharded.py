@@ -121,6 +121,11 @@ def deconvolve_sharded(
         out, _ = lax.scan(sweep, psi_local, None, length=num_iterations)
         return out
 
+    w_spec = (
+        P("view")
+        if data.weights.ndim == 1  # per-view scalar weights
+        else P("view", "z", None, None)
+    )
     fn = shard_map(
         step,
         mesh=mesh,
@@ -129,7 +134,7 @@ def deconvolve_sharded(
             P("view", "z", None, None),    # views
             P("view", None, None, None),   # kernel1
             P("view", None, None, None),   # kernel2
-            P("view", "z", None, None),    # weights
+            w_spec,                        # weights (stacks or scalars)
         ),
         out_specs=P("z", None, None),
     )
@@ -144,13 +149,16 @@ def shard_workspace(
     s_psi = NamedSharding(mesh, P("z", None, None))
     s_vol = NamedSharding(mesh, P("view", "z", None, None))
     s_k = NamedSharding(mesh, P("view", None, None, None))
+    s_w = NamedSharding(
+        mesh, P("view") if data.weights.ndim == 1 else P("view", "z", None, None)
+    )
     return (
         jax.device_put(psi, s_psi),
         MultiViewData(
             views=jax.device_put(data.views, s_vol),
             kernel1=jax.device_put(data.kernel1, s_k),
             kernel2=jax.device_put(data.kernel2, s_k),
-            weights=jax.device_put(data.weights, s_vol),
+            weights=jax.device_put(data.weights, s_w),
         ),
     )
 

@@ -65,3 +65,41 @@ def test_scalar_weights_match_full_stacks(rng, view_order):
     a = np.asarray(deconvolve_jit(psi0.copy(), full, 2, view_order=view_order))
     b = np.asarray(deconvolve_jit(psi0.copy(), scalar, 2, view_order=view_order))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_elementwise_option_matches(rng):
+    views, k1, k2 = _base(rng)
+    V, shape = 2, (12, 12, 12)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+    a = np.asarray(deconvolve_jit(psi0.copy(), data, 2, elementwise="jnp"))
+    b = np.asarray(deconvolve_jit(psi0.copy(), data, 2, elementwise="pallas"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_scalar_weights(rng):
+    import jax as _jax
+
+    if _jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    from libmultiviewnative_tpu.parallel.sharded import (
+        deconvolve_sharded,
+        make_mesh,
+        shard_workspace,
+    )
+
+    views, k1, k2 = _base(rng, V=2, shape=(16, 8, 8))
+    psi0 = jnp.full((16, 8, 8), float(np.mean(views)), jnp.float32)
+    scalar = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.full((2,), 0.5, jnp.float32),
+    )
+    want = np.asarray(
+        deconvolve_jit(psi0.copy(), scalar, 2, view_order="simultaneous")
+    )
+    mesh = make_mesh(view_parallel=2, z_parallel=2, devices=_jax.devices()[:4])
+    psi_s, data_s = shard_workspace(scalar, psi0, mesh)
+    got = np.asarray(deconvolve_sharded(psi_s, data_s, 2, mesh))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
