@@ -34,6 +34,7 @@ def main(argv=None):
                    help="per-view scalar weights 1/V (no weight stacks in HBM)")
     p.add_argument("--adjoint_kernel2", action="store_true",
                    help="kernel2 = flip(kernel1): reuse conj spectra")
+    p.add_argument("--elementwise", choices=["jnp", "pallas"], default="jnp")
     args = p.parse_args(argv)
     jax = setup_platform(args.platform)
     import jax.numpy as jnp
@@ -95,6 +96,7 @@ def main(argv=None):
                 view_order=args.view_order,
                 algorithm=args.engine,
                 adjoint_kernel2=args.adjoint_kernel2,
+                elementwise=args.elementwise,
             )
 
     total_ms = time_fn(fn, args.repeats, args.warmup)
