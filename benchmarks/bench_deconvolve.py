@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("--lambda_", type=float, default=0.006)
     p.add_argument("--view_order", choices=["sequential", "simultaneous"],
                    default="sequential")
-    p.add_argument("--engine", choices=["fft", "dft", "direct"], default="fft")
+    p.add_argument("--engine", choices=["fft", "dft", "fused", "direct"], default="fft")
     p.add_argument("--sharded", default=None,
                    help="VxZ mesh, e.g. 2x4 (requires that many devices)")
     p.add_argument("--uniform_weights", action="store_true",

@@ -114,6 +114,31 @@ def rl_view_step_dft(
     return update_fn(psi, integral, weights, lam, min_value)
 
 
+def rl_view_step_fused(
+    psi: jnp.ndarray,
+    view: jnp.ndarray,
+    k1_split: Tuple[jnp.ndarray, jnp.ndarray],
+    k2_split: Tuple[jnp.ndarray, jnp.ndarray],
+    weights: jnp.ndarray,
+    lam: float,
+    min_value: float,
+    update_fn=_rl_update_jnp,
+) -> jnp.ndarray:
+    """Update via the fused 3-pass Pallas DFT-convolve
+    (ops.pallas.fused_dft) — minimal HBM traffic per convolve."""
+    from ..ops.pallas.fused_dft import fused_convolve_spectrum
+
+    interp = jax.default_backend() == "cpu"
+    integral = fused_convolve_spectrum(
+        psi, k1_split[0], k1_split[1], interpret=interp
+    )
+    integral = view * (1.0 / integral)
+    integral = fused_convolve_spectrum(
+        integral, k2_split[0], k2_split[1], interpret=interp
+    )
+    return update_fn(psi, integral, weights, lam, min_value)
+
+
 def prepare_spectra_split(
     kernels: jnp.ndarray, spatial_shape: Tuple[int, ...]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -189,14 +214,14 @@ def deconvolve(
             data.kernel2, spatial
         )
         step = rl_view_step
-    elif algorithm == "dft":
+    elif algorithm in ("dft", "fused"):
         k1 = prepare_spectra_split(data.kernel1, spatial)
         k2 = (
             (k1[0], -k1[1])
             if adjoint_kernel2
             else prepare_spectra_split(data.kernel2, spatial)
         )
-        step = rl_view_step_dft
+        step = rl_view_step_dft if algorithm == "dft" else rl_view_step_fused
     elif algorithm == "direct":
         k1 = data.kernel1
         k2 = (

@@ -112,3 +112,20 @@ def test_deconvolve_dft_algorithm_matches_fft(rng):
     a = np.asarray(deconvolve_jit(psi0.copy(), data, 3, algorithm="fft"))
     b = np.asarray(deconvolve_jit(psi0.copy(), data, 3, algorithm="dft"))
     assert l2norm(a, b) < 1e-3
+
+
+def test_deconvolve_fused_algorithm_matches_fft(rng):
+    shape = (16, 16, 16)
+    V = 2
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    k1 = np.stack([gaussian_kernel((5, 5, 5), 1.0 + 0.3 * v) for v in range(V)])
+    data = MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(np.flip(k1, axis=(1, 2, 3)).copy()),
+        weights=jnp.full((V,) + shape, 1.0 / V, jnp.float32),
+    )
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    a = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fft"))
+    b = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fused"))
+    assert l2norm(a, b) < 1e-3
