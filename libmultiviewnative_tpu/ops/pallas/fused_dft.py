@@ -34,8 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.dft import DFTPlan, make_plan
 
-_ZT = 8  # z-planes per slab in passes A/C
-_YT = 8  # y-rows per tile in pass B
+_VMEM_BUDGET = 6 * 1024 * 1024  # per-pass working set target (hw scoped: 16M,
+# Mosaic double-buffers grid-mapped blocks, so keep tiles well under half)
+
+
+def _pick_tile(n: int, bytes_per_unit: int, cap: int = 8) -> int:
+    """Largest divisor of n, <= cap, whose tile fits the VMEM budget."""
+    best = 1
+    for t in range(1, cap + 1):
+        if n % t == 0 and t * bytes_per_unit <= _VMEM_BUDGET:
+            best = t
+    return best
 
 
 def _dot(a, b):
@@ -117,8 +126,14 @@ def fused_convolve_spectrum(
     if not isinstance(plan, DFTPlan):
         raise ValueError("fused path requires compact shapes (<=256 per axis)")
     Kx = plan.kx
-    zt = _ZT if Z % _ZT == 0 else 1
-    yt = _YT if Y % _YT == 0 else 1
+    # pass A/C per-z-plane bytes: input plane (Y*X) + 2 spectral planes
+    # (Y*Kx) each, f32, x2 for double buffering.  (Blocks keep the last two
+    # dims full, so any zt divisor is legal.)
+    zt = _pick_tile(Z, 4 * (Y * X + 2 * Y * Kx) * 2)
+    # pass B blocks are (Z, yt, Kx): Pallas requires the middle dim to be a
+    # multiple of 8 (or the full Y); 8 rows keeps the 6 double-buffered
+    # panels near the VMEM budget.
+    yt = 8 if Y % 8 == 0 else Y
 
     spec_full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=_vmem()
