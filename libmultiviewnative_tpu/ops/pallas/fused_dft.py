@@ -138,6 +138,10 @@ def fused_convolve_spectrum(
     spec_full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=_vmem()
     )
+    # raise the scoped VMEM ceiling beyond the conservative 16M default
+    # (v5e has far more physical VMEM; Mosaic double/triple-buffers the
+    # grid-mapped panels)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     # ---- pass A: grid over z-slabs
     re1, im1 = pl.pallas_call(
@@ -159,6 +163,7 @@ def fused_convolve_spectrum(
             jax.ShapeDtypeStruct((Z, Y, Kx), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=params,
     )(x, plan.fcx, plan.fsx, plan.cy, plan.sy)
 
     # ---- pass B: grid over y tiles (k kept whole: Kx is modest)
@@ -182,6 +187,7 @@ def fused_convolve_spectrum(
             jax.ShapeDtypeStruct((Z, Y, Kx), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=params,
     )(re1, im1, k_re, k_im, plan.cz, plan.sz)
 
     # ---- pass C: grid over z-slabs
@@ -201,5 +207,6 @@ def fused_convolve_spectrum(
         ),
         out_shape=jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
         interpret=interpret,
+        compiler_params=params,
     )(re2, im2, plan.cy, plan.sy, plan.bcx, plan.bsx)
     return out
