@@ -125,6 +125,17 @@ def fused_convolve_spectrum(
     plan = make_plan((Z, Y, X))
     if not isinstance(plan, DFTPlan):
         raise ValueError("fused path requires compact shapes (<=256 per axis)")
+    if not interpret and Z * Y * X > 2**22:
+        # EXPERIMENTAL guard: compiled output validated correct up to
+        # 128^3 and single-256-axis shapes on v5e, but WRONG at full 256^3
+        # (suspected Mosaic issue at this buffer configuration), and the
+        # per-plane matmul schedule currently loses to the einsum DFT
+        # engine anyway (8.7 vs 4.9 ms/convolve at 256^3).  Keep the
+        # production path on algorithm='dft' until this is resolved.
+        raise ValueError(
+            "fused kernel limited to <= 2^22 voxels compiled (experimental); "
+            "use algorithm='dft'"
+        )
     Kx = plan.kx
     # pass A/C per-z-plane bytes: input plane (Y*X) + 2 spectral planes
     # (Y*Kx) each, f32, x2 for double buffering.  (Blocks keep the last two
