@@ -386,6 +386,56 @@ def kernel_spectrum_split(
     return dft3(wrapped, plan)
 
 
+def _axis_fwd_c(u, ap: AxisPlan, pos: int):
+    """Complex-valued forward DFT along axis `pos` from the end."""
+    tail = "ab"[: pos - 1]
+    if ap.kind == "dense":
+        f = jax.lax.complex(ap.cm, -ap.sm)
+        return _EINSUM(f"...m{tail},mp->...p{tail}", u, f)
+    R, M = ap.r, ap.m
+    u2 = _reshape_axis(u, pos, (M, R))
+    fm = jax.lax.complex(ap.cm, -ap.sm)
+    g = _EINSUM(f"...mr{tail},mp->...rp{tail}", u2, fm)
+    tw = jax.lax.complex(ap.twc, -ap.tws).reshape((R, M) + (1,) * (pos - 1))
+    g = g * tw
+    o = jax.lax.complex(ap.oc, -ap.osn)
+    g = _EINSUM(f"...rp{tail},rq->...qp{tail}", g, o)
+    return _merge_axis_pair(g, pos, ap.n)
+
+
+def _axis_inv_c(u, ap: AxisPlan, pos: int):
+    """Complex-valued inverse DFT along axis `pos` from the end (1/N folded)."""
+    tail = "ab"[: pos - 1]
+    inv_n = 1.0 / ap.n
+    if ap.kind == "dense":
+        f = jax.lax.complex(ap.cm, ap.sm)
+        return _EINSUM(f"...p{tail},pm->...m{tail}", u, f) * inv_n
+    R, M = ap.r, ap.m
+    u2 = _reshape_axis(u, pos, (R, M))
+    o = jax.lax.complex(ap.oc, ap.osn)
+    g = _EINSUM(f"...qp{tail},qr->...rp{tail}", u2, o)
+    tw = jax.lax.complex(ap.twc, ap.tws).reshape((R, M) + (1,) * (pos - 1))
+    g = g * tw
+    fm = jax.lax.complex(ap.cm, ap.sm)
+    g = _EINSUM(f"...rp{tail},pm->...mr{tail}", g, fm)
+    return _merge_axis_pair(g, pos, ap.n) * inv_n
+
+
+def _full_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: FullDFTPlan):
+    """Long-axis convolve with complex64 stages throughout (the traffic-
+    efficient formulation; complex values never leave the device)."""
+    azp, ayp, axp = plan.axes
+    u = jax.lax.complex(x, jnp.zeros_like(x))
+    u = _axis_fwd_c(u, axp, 1)
+    u = _axis_fwd_c(u, ayp, 2)
+    u = _axis_fwd_c(u, azp, 3)
+    u = u * jax.lax.complex(k_re, k_im)
+    u = _axis_inv_c(u, azp, 3)
+    u = _axis_inv_c(u, ayp, 2)
+    u = _axis_inv_c(u, axp, 1)
+    return jnp.real(u)
+
+
 def _dft_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: DFTPlan):
     """Compact-plan convolve with complex64 y/z stages: XLA's complex
     matmul reads each operand once per stage (measured ~7% faster than the
@@ -417,7 +467,4 @@ def dft_convolve_spectrum(
     plan = make_plan(tuple(int(s) for s in x.shape[-3:]))
     if isinstance(plan, DFTPlan):
         return _dft_convolve_complex(x, k_re, k_im, plan)
-    re, im = dft3(x, plan)
-    pre = re * k_re - im * k_im
-    pim = re * k_im + im * k_re
-    return idft3(pre, pim, plan)
+    return _full_convolve_complex(x, k_re, k_im, plan)
