@@ -467,4 +467,10 @@ def dft_convolve_spectrum(
     plan = make_plan(tuple(int(s) for s in x.shape[-3:]))
     if isinstance(plan, DFTPlan):
         return _dft_convolve_complex(x, k_re, k_im, plan)
-    return _full_convolve_complex(x, k_re, k_im, plan)
+    # long-axis plans: split re/im stages measured FASTER than complex64
+    # here (0.86 vs 0.76 it/s at 4-view 512^3 — promoting the real input to
+    # complex costs more than the stage savings)
+    re, im = dft3(x, plan)
+    pre = re * k_re - im * k_im
+    pim = re * k_im + im * k_re
+    return idft3(pre, pim, plan)
