@@ -43,7 +43,12 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # full f32 MXU passes
     "high": jax.lax.Precision.HIGH,  # bf16_3x: ~2x matmul rate, ~3e-5 rel err
 }
-_PREC = _PRECISIONS["highest"]
+# default from env (LMVN_MATMUL_PRECISION=high|highest), else f32-faithful
+import os as _os
+
+_PREC = _PRECISIONS.get(
+    _os.environ.get("LMVN_MATMUL_PRECISION", "highest"), _PRECISIONS["highest"]
+)
 
 
 def set_matmul_precision(name: str) -> None:
