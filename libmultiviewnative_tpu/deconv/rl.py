@@ -304,6 +304,88 @@ def deconvolve_jit(
     )
 
 
+@jax.tree_util.register_pytree_node_class
+class PreparedSpectra:
+    """Pre-forwarded kernel spectra bound to an (algorithm, shape) pair.
+
+    The serving-path plan store: the reference re-runs its kernel-FFT setup
+    on every ``inplace_cpu_deconvolve`` call (src/multiviewnative.cpp:146-174);
+    preparing once and reusing across calls removes that cost for repeated
+    deconvolutions with fixed PSFs (time-lapse processing)."""
+
+    def __init__(self, algorithm: str, spatial, k1, k2):
+        self.algorithm = algorithm
+        self.spatial = tuple(spatial)
+        self.k1 = k1
+        self.k2 = k2
+
+    def tree_flatten(self):
+        return (self.k1, self.k2), (self.algorithm, self.spatial)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+
+def prepare_workspace(
+    data: MultiViewData,
+    spatial_shape,
+    algorithm: str = "auto",
+    adjoint_kernel2: bool = False,
+) -> PreparedSpectra:
+    """Forward the kernel stacks once for reuse by :func:`deconvolve_prepared`."""
+    spatial = tuple(int(s) for s in spatial_shape)
+    if algorithm == "auto":
+        algorithm = "dft" if max(spatial) <= 256 else "fft"
+    if algorithm == "fft":
+        k1 = prepare_spectra(data.kernel1, spatial)
+        k2 = jnp.conj(k1) if adjoint_kernel2 else prepare_spectra(
+            data.kernel2, spatial
+        )
+    elif algorithm == "dft":
+        k1 = prepare_spectra_split(data.kernel1, spatial)
+        k2 = (
+            (k1[0], -k1[1])
+            if adjoint_kernel2
+            else prepare_spectra_split(data.kernel2, spatial)
+        )
+    else:
+        raise ValueError(f"prepare_workspace supports fft/dft, not {algorithm!r}")
+    return PreparedSpectra(algorithm, spatial, k1, k2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iterations", "lam", "min_value", "elementwise"),
+    donate_argnums=(0,),
+)
+def deconvolve_prepared(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    prepared: PreparedSpectra,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    elementwise: str = "jnp",
+) -> jnp.ndarray:
+    """Sequential RL using pre-forwarded spectra (no per-call kernel FFTs)."""
+    step = rl_view_step if prepared.algorithm == "fft" else rl_view_step_dft
+    update_fn = _select_rl_update(elementwise)
+
+    def view_body(p, xs):
+        view, k1v, k2v, w = xs
+        return step(p, view, k1v, k2v, w, lam, min_value, update_fn), None
+
+    def sweep(p, _):
+        p, _ = lax.scan(
+            view_body, p, (data.views, prepared.k1, prepared.k2, data.weights)
+        )
+        return p, None
+
+    psi, _ = lax.scan(sweep, psi, None, length=num_iterations)
+    return psi
+
+
 def deconvolve_workspace(psi: jnp.ndarray, ws: Workspace, **kw) -> jnp.ndarray:
     """Convenience wrapper taking a :class:`Workspace` (the C-ABI shape)."""
     return deconvolve_jit(

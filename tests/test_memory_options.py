@@ -103,3 +103,27 @@ def test_sharded_scalar_weights(rng):
     psi_s, data_s = shard_workspace(scalar, psi0, mesh)
     got = np.asarray(deconvolve_sharded(psi_s, data_s, 2, mesh))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("algorithm", ["fft", "dft"])
+def test_prepared_spectra_match_oneshot(rng, algorithm):
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve_prepared,
+        prepare_workspace,
+    )
+
+    views, k1, k2 = _base(rng)
+    V, shape = 2, (12, 12, 12)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+    prepared = prepare_workspace(data, shape, algorithm=algorithm)
+    a = np.asarray(deconvolve_prepared(psi0.copy(), data, prepared, 2, 0.006))
+    b = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 2, lam=0.006, algorithm=algorithm)
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # prepared spectra reusable across calls (second call, fresh psi)
+    c = np.asarray(deconvolve_prepared(psi0.copy(), data, prepared, 2, 0.006))
+    np.testing.assert_array_equal(a, c)
