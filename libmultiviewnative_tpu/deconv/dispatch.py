@@ -62,9 +62,13 @@ def deconvolve_auto(
     algorithm: str = "auto",
     headroom: float = 0.9,
     chunk_z: int = 64,
+    adjoint_kernel2: bool = False,
+    elementwise: str = "jnp",
 ):
     """Run RL with the best strategy for the problem size and device fleet."""
     est = estimate_workspace_bytes(data)
+    if adjoint_kernel2:
+        est -= data.num_views * 4 * math.prod(data.spatial_shape)
     cap = int(headroom * device_capacity_bytes())
     n_dev = jax.device_count()
 
@@ -75,6 +79,7 @@ def deconvolve_auto(
         return deconvolve_jit(
             psi, data, num_iterations=num_iterations, lam=lam,
             min_value=min_value, algorithm=algorithm,
+            adjoint_kernel2=adjoint_kernel2, elementwise=elementwise,
         )
 
     if n_dev > 1 and est < cap * n_dev:

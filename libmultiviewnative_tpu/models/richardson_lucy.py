@@ -34,6 +34,8 @@ class RichardsonLucy:
     algorithm: str = "auto"
     auto_dispatch: bool = True
     initial: str = "average"
+    adjoint_kernel2: bool = False
+    elementwise: str = "jnp"
 
     def run(self, data: MultiViewData, psi0: Optional[jnp.ndarray] = None):
         if psi0 is None:
@@ -46,6 +48,8 @@ class RichardsonLucy:
                 lam=self.lambda_,
                 min_value=self.min_value,
                 algorithm=self.algorithm,
+                adjoint_kernel2=self.adjoint_kernel2,
+                elementwise=self.elementwise,
             )
         return deconvolve_jit(
             psi0,
@@ -55,6 +59,8 @@ class RichardsonLucy:
             min_value=self.min_value,
             view_order=self.view_order,
             algorithm=self.algorithm,
+            adjoint_kernel2=self.adjoint_kernel2,
+            elementwise=self.elementwise,
         )
 
     def run_workspace(self, ws: Workspace, psi0=None):
