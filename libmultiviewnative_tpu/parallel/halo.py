@@ -74,6 +74,19 @@ def zblock_kernel_spectrum(
     return rfft3(wrap_kernel(kernel, ext))
 
 
+def zblock_kernel_spectrum_split(
+    kernel: jnp.ndarray, local_spatial: Tuple[int, int, int]
+):
+    """Split (re, im) spectrum at the halo-extended extent for the MXU DFT
+    engine — halo-extended block shapes are small and rarely power-of-2,
+    exactly where the dense DFT outruns the FFT op."""
+    from ..core.dft import kernel_spectrum_split
+
+    (lo_z, _, _), (hi_z, _, _) = halo_widths(kernel.shape)
+    ext = (local_spatial[0] + lo_z + hi_z, local_spatial[1], local_spatial[2])
+    return kernel_spectrum_split(kernel, ext)
+
+
 def convolve_zblock(
     block: jnp.ndarray,
     kernel_hat_ext: jnp.ndarray,
@@ -91,4 +104,20 @@ def convolve_zblock(
     bz = block.shape[-3]
     ext = halo_exchange_z(block, lo, hi, axis_name)
     out = convolve_spectrum(ext, kernel_hat_ext)
+    return lax.slice_in_dim(out, lo, lo + bz, axis=out.ndim - 3)
+
+
+def convolve_zblock_dft(
+    block: jnp.ndarray,
+    kernel_split_ext,
+    lo: int,
+    hi: int,
+    axis_name: str,
+) -> jnp.ndarray:
+    """:func:`convolve_zblock` with the MXU DFT engine (split spectra)."""
+    from ..core.dft import dft_convolve_spectrum
+
+    bz = block.shape[-3]
+    ext = halo_exchange_z(block, lo, hi, axis_name)
+    out = dft_convolve_spectrum(ext, kernel_split_ext[0], kernel_split_ext[1])
     return lax.slice_in_dim(out, lo, lo + bz, axis=out.ndim - 3)

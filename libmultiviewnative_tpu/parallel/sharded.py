@@ -32,7 +32,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.kernels import rl_update
 from ..core.shapes import halo_widths
 from ..deconv.workspace import MultiViewData
-from .halo import convolve_zblock, zblock_kernel_spectrum
+from .halo import (
+    convolve_zblock,
+    convolve_zblock_dft,
+    zblock_kernel_spectrum,
+    zblock_kernel_spectrum_split,
+)
 
 shard_map = jax.shard_map
 
@@ -57,21 +62,36 @@ def make_mesh(
 
 
 def _local_view_sweep(
-    psi, views, kernel1, kernel2, weights, lam, min_value, lo1, hi1, lo2, hi2
+    psi, views, kernel1, kernel2, weights, lam, min_value, lo1, hi1, lo2, hi2,
+    algorithm="fft",
 ):
     """One simultaneous RL sweep over this shard's views on z-blocks.
 
     psi: (Bz, Y, X) local block, replicated over 'view'.
     views/weights: (Vl, Bz, Y, X); kernel1/2: (Vl, k...) replicated over 'z'.
+    ``algorithm``: 'fft' or 'dft' for the halo-extended local convolves
+    (halo-extended blocks are small/non-power-of-2 — DFT territory).
     """
     local_spatial = psi.shape
+    if algorithm == "auto":
+        ext_max = max(local_spatial) + max(
+            int(kernel1.shape[-3]), int(kernel2.shape[-3])
+        )
+        algorithm = "dft" if ext_max <= 256 else "fft"
 
     def one_view(view, k1, k2, w):
-        k1h = zblock_kernel_spectrum(k1, local_spatial)
-        k2h = zblock_kernel_spectrum(k2, local_spatial)
-        integral = convolve_zblock(psi, k1h, lo1, hi1, "z")
-        integral = view * (1.0 / integral)
-        integral = convolve_zblock(integral, k2h, lo2, hi2, "z")
+        if algorithm == "dft":
+            k1h = zblock_kernel_spectrum_split(k1, local_spatial)
+            k2h = zblock_kernel_spectrum_split(k2, local_spatial)
+            integral = convolve_zblock_dft(psi, k1h, lo1, hi1, "z")
+            integral = view * (1.0 / integral)
+            integral = convolve_zblock_dft(integral, k2h, lo2, hi2, "z")
+        else:
+            k1h = zblock_kernel_spectrum(k1, local_spatial)
+            k2h = zblock_kernel_spectrum(k2, local_spatial)
+            integral = convolve_zblock(psi, k1h, lo1, hi1, "z")
+            integral = view * (1.0 / integral)
+            integral = convolve_zblock(integral, k2h, lo2, hi2, "z")
         return rl_update(psi, integral, w, lam, min_value)
 
     new = jax.vmap(one_view)(views, kernel1, kernel2, weights)
@@ -88,6 +108,7 @@ def deconvolve_sharded(
     mesh: Mesh,
     lam: float = 0.0,
     min_value: float = 1e-4,
+    algorithm: str = "fft",
 ) -> jnp.ndarray:
     """Sharded RL deconvolution: views over mesh axis 'view', volume Z-blocks
     over mesh axis 'z'.  Returns psi with the same sharding it came in with.
@@ -114,7 +135,8 @@ def deconvolve_sharded(
     def step(psi_local, views, k1, k2, w):
         def sweep(p, _):
             p = _local_view_sweep(
-                p, views, k1, k2, w, lam, min_value, lo1, hi1, lo2, hi2
+                p, views, k1, k2, w, lam, min_value, lo1, hi1, lo2, hi2,
+                algorithm,
             )
             return p, None
 
@@ -165,10 +187,18 @@ def shard_workspace(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iterations", "mesh", "lam", "min_value"),
+    static_argnames=("num_iterations", "mesh", "lam", "min_value", "algorithm"),
     donate_argnums=(0,),
 )
 def deconvolve_sharded_jit(
-    psi, data, num_iterations: int, mesh: Mesh, lam: float = 0.0, min_value: float = 1e-4
+    psi,
+    data,
+    num_iterations: int,
+    mesh: Mesh,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    algorithm: str = "fft",
 ):
-    return deconvolve_sharded(psi, data, num_iterations, mesh, lam, min_value)
+    return deconvolve_sharded(
+        psi, data, num_iterations, mesh, lam, min_value, algorithm
+    )

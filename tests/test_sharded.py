@@ -99,3 +99,18 @@ def test_sharded_rejects_undivisible():
     mesh = make_mesh(view_parallel=2, z_parallel=4)
     with pytest.raises(ValueError, match="views not divisible"):
         deconvolve_sharded(psi0, data, 1, mesh)
+
+
+@pytest.mark.parametrize("algorithm", ["dft", "auto"])
+def test_sharded_dft_engine_matches_fft(algorithm):
+    data = _sim_problem()
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    a = np.asarray(
+        deconvolve_sharded(psi_s + 0, data_s, 2, mesh, algorithm="fft")
+    )
+    b = np.asarray(
+        deconvolve_sharded(psi_s + 0, data_s, 2, mesh, algorithm=algorithm)
+    )
+    assert l2norm(a, b) < 1e-4
