@@ -441,24 +441,50 @@ def _full_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: FullDFTPlan):
     return jnp.real(u)
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_axis_plan(n: int) -> AxisPlan:
+    """AxisPlan for a full-complex stage inside the compact convolve: split
+    (Cooley-Tukey) when n > 128 and a good factorization exists — the split
+    halves the stage FLOPs while every matmul keeps a >=64 contraction."""
+    with jax.ensure_compile_time_eval():
+        if n > 128 and _pick_split(n) is not None:
+            r, m = _pick_split(n)
+            f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+            def cs(a, b, denom):
+                theta = (
+                    2.0 * np.pi * np.outer(np.arange(a), np.arange(b)) / denom
+                )
+                return np.cos(theta), np.sin(theta)
+
+            cm, sm = cs(m, m, m)
+            twc, tws = cs(r, m, n)
+            oc, osn = cs(r, r, r)
+            return AxisPlan(
+                n, "split", f32(cm), f32(sm), f32(twc), f32(tws),
+                f32(oc), f32(osn), r, m,
+            )
+        return _axis_plan(n, jnp.float32)
+
+
 def _dft_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: DFTPlan):
     """Compact-plan convolve with complex64 y/z stages: XLA's complex
     matmul reads each operand once per stage (measured ~7% faster than the
-    4-real-einsum formulation at 256^3 on v5e).  Complex values never leave
-    the device (complex transfers are not universally supported)."""
+    4-real-einsum formulation at 256^3 on v5e), and y/z stages go through
+    the generic dense/split axis machinery (split engages above 128 —
+    halves the per-stage FLOPs at 256).  Complex values never leave the
+    device (complex transfers are not universally supported)."""
     z, y, _ = plan.shape
-    fy = jax.lax.complex(plan.cy, -plan.sy)
-    fz = jax.lax.complex(plan.cz, -plan.sz)
-    fyi = jax.lax.complex(plan.cy, plan.sy) / y
-    fzi = jax.lax.complex(plan.cz, plan.sz) / z
+    ayp = _cached_axis_plan(y)
+    azp = _cached_axis_plan(z)
     re = _EINSUM("...zyx,xk->...zyk", x, plan.fcx)
     im = _EINSUM("...zyx,xk->...zyk", x, plan.fsx)
     u = jax.lax.complex(re, im)
-    u = _EINSUM("...zyk,ym->...zmk", u, fy)
-    u = _EINSUM("...zyk,zn->...nyk", u, fz)
+    u = _axis_fwd_c(u, ayp, 2)
+    u = _axis_fwd_c(u, azp, 3)
     u = u * jax.lax.complex(k_re, k_im)
-    u = _EINSUM("...zyk,zn->...nyk", u, fzi)
-    u = _EINSUM("...zyk,ym->...zmk", u, fyi)
+    u = _axis_inv_c(u, azp, 3)
+    u = _axis_inv_c(u, ayp, 2)
     return _EINSUM("...zyk,kx->...zyx", jnp.real(u), plan.bcx) - _EINSUM(
         "...zyk,kx->...zyx", jnp.imag(u), plan.bsx
     )

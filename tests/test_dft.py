@@ -129,3 +129,15 @@ def test_deconvolve_fused_algorithm_matches_fft(rng):
     a = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fft"))
     b = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fused"))
     assert l2norm(a, b) < 1e-3
+
+
+@pytest.mark.parametrize("shape", [(8, 160, 12), (160, 8, 12), (12, 144, 16)])
+def test_compact_convolve_with_split_yz_stage(shape, rng):
+    # y/z axes > 128 engage the in-compact Cooley-Tukey stage; result must
+    # match the plain FFT engine
+    x = rng.normal(size=shape).astype(np.float32)
+    k = rng.normal(size=(5, 5, 5)).astype(np.float32)
+    kre, kim = kernel_spectrum_split(jnp.asarray(k), shape)
+    got = np.asarray(dft_convolve_spectrum(jnp.asarray(x), kre, kim))
+    want = np.asarray(fft_convolve3d(x, k, mode="circular"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
