@@ -443,27 +443,14 @@ def _full_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: FullDFTPlan):
 
 @functools.lru_cache(maxsize=256)
 def _cached_axis_plan(n: int) -> AxisPlan:
-    """AxisPlan for a full-complex stage inside the compact convolve: split
-    (Cooley-Tukey) when n > 128 and a good factorization exists — the split
-    halves the stage FLOPs while every matmul keeps a >=64 contraction."""
+    """AxisPlan for a full-complex stage inside the compact convolve.
+
+    MEASURED: engaging the Cooley-Tukey split here (n in 129..256) cut the
+    headline from 46.9 to 19.2 it/s on v5e — the (M, R) reshapes force
+    physical transposes in the k-last layout that cost far more than the
+    halved FLOPs.  Compact stages therefore stay DENSE; the split exists
+    only in FullDFTPlan (axes > 256) where dense is infeasible."""
     with jax.ensure_compile_time_eval():
-        if n > 128 and _pick_split(n) is not None:
-            r, m = _pick_split(n)
-            f32 = lambda a: jnp.asarray(a, jnp.float32)
-
-            def cs(a, b, denom):
-                theta = (
-                    2.0 * np.pi * np.outer(np.arange(a), np.arange(b)) / denom
-                )
-                return np.cos(theta), np.sin(theta)
-
-            cm, sm = cs(m, m, m)
-            twc, tws = cs(r, m, n)
-            oc, osn = cs(r, r, r)
-            return AxisPlan(
-                n, "split", f32(cm), f32(sm), f32(twc), f32(tws),
-                f32(oc), f32(osn), r, m,
-            )
         return _axis_plan(n, jnp.float32)
 
 
