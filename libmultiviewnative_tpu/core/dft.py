@@ -54,7 +54,12 @@ _PREC = _PRECISIONS.get(
 def set_matmul_precision(name: str) -> None:
     """Select the MXU precision for all DFT einsums: 'highest' (default,
     f32-faithful) or 'high' (bf16_3x — measured ~3e-5 relative transform
-    error, still two orders under the RL acceptance tolerances)."""
+    error, still two orders under the RL acceptance tolerances).
+
+    CAVEAT: the precision is captured at TRACE time and is not part of
+    jit's cache key — programs already compiled for a shape keep the
+    precision they were traced with.  Set it before the first call for a
+    given shape (or at process start via LMVN_MATMUL_PRECISION)."""
     global _PREC
     _PREC = _PRECISIONS[name]
 
@@ -424,21 +429,6 @@ def _axis_inv_c(u, ap: AxisPlan, pos: int):
     fm = jax.lax.complex(ap.cm, ap.sm)
     g = _EINSUM(f"...rp{tail},pm->...mr{tail}", g, fm)
     return _merge_axis_pair(g, pos, ap.n) * inv_n
-
-
-def _full_convolve_complex(x: jnp.ndarray, k_re, k_im, plan: FullDFTPlan):
-    """Long-axis convolve with complex64 stages throughout (the traffic-
-    efficient formulation; complex values never leave the device)."""
-    azp, ayp, axp = plan.axes
-    u = jax.lax.complex(x, jnp.zeros_like(x))
-    u = _axis_fwd_c(u, axp, 1)
-    u = _axis_fwd_c(u, ayp, 2)
-    u = _axis_fwd_c(u, azp, 3)
-    u = u * jax.lax.complex(k_re, k_im)
-    u = _axis_inv_c(u, azp, 3)
-    u = _axis_inv_c(u, ayp, 2)
-    u = _axis_inv_c(u, axp, 1)
-    return jnp.real(u)
 
 
 @functools.lru_cache(maxsize=256)

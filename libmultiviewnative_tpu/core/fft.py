@@ -58,16 +58,25 @@ _fwd_spectrum_jit = jax.jit(forward_kernel_spectrum, static_argnums=(1,))
 
 
 class KernelSpectrumCache:
-    """Host-side cache of forwarded kernel spectra keyed by (buffer, extents).
+    """Host-side cache of forwarded kernel spectra keyed by kernel identity.
 
     The analog of the reference plan stores — but caching *data* rather than
     plans (XLA's jit cache already holds the plans).  Unlike the reference's
     Meyers singletons (/root/reference/inc/plan_store.h:40-43, noted as
-    thread-unsafe in SURVEY §5), this cache is lock-protected.
+    thread-unsafe in SURVEY §5), this cache is lock-protected, holds a
+    strong reference to each cached kernel (so a recycled ``id()`` can never
+    alias a freed kernel's entry), and is LRU-bounded.
     """
 
-    def __init__(self) -> None:
-        self._store: Dict[Tuple[int, Shape, Shape], jnp.ndarray] = {}
+    def __init__(self, maxsize: int = 64) -> None:
+        from collections import OrderedDict
+
+        # key -> (kernel object, spectrum); kernel kept alive so the id key
+        # stays uniquely bound to it
+        self._store: "OrderedDict[Tuple[int, Shape, Shape], tuple]" = (
+            OrderedDict()
+        )
+        self._maxsize = int(maxsize)
         self._lock = threading.Lock()
 
     def get(self, kernel, extents: Sequence[int]) -> jnp.ndarray:
@@ -75,11 +84,15 @@ class KernelSpectrumCache:
         key = (id(kernel), tuple(kernel.shape), extents)
         with self._lock:
             hit = self._store.get(key)
-        if hit is not None:
-            return hit
+            if hit is not None and hit[0] is kernel:
+                self._store.move_to_end(key)
+                return hit[1]
         spectrum = _fwd_spectrum_jit(jnp.asarray(kernel, jnp.float32), extents)
         with self._lock:
-            self._store[key] = spectrum
+            self._store[key] = (kernel, spectrum)
+            self._store.move_to_end(key)
+            while len(self._store) > self._maxsize:
+                self._store.popitem(last=False)
         return spectrum
 
     def clear(self) -> None:

@@ -71,15 +71,12 @@ def regularized_final_values(
         else:         value = minValue
         (then same NaN/Inf clamp and weighted blend as final_values)
 
-    The transform is evaluated in float64 internally (``1. + 2. * _lambda *
-    value`` promotes to double in the C code) and cast back, matching the
-    reference's mixed-precision arithmetic.
+    The reference evaluates ``sqrt(1. + 2. * _lambda * value)`` in double
+    (C promotion) then narrows; here the transform runs in float32 — the
+    f32 sqrt of the f32-rounded operand stays within the acceptance
+    tolerances and keeps the TPU on the fast path.
     """
     value = psi * integral
-    v64 = value.astype(jnp.float64) if jnp.float64 in (value.dtype,) else value
-    # The reference computes sqrt(1. + 2. * lambda * value) in double then
-    # multiplies by float(1/lambda).  float32 sqrt of the f32-rounded operand
-    # is within the test tolerances; keep it f32 for TPU speed.
     lam_inv = jnp.float32(1.0) / jnp.float32(lam)
     tik = lam_inv * (jnp.sqrt(1.0 + 2.0 * jnp.float32(lam) * value) - 1.0)
     value = jnp.where(value > 0.0, tik, min_value)
@@ -88,7 +85,6 @@ def regularized_final_values(
         min_value,
         jnp.maximum(value, min_value),
     )
-    del v64
     return weights * (nxt - psi) + psi
 
 

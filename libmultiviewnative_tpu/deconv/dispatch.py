@@ -64,11 +64,27 @@ def deconvolve_auto(
     chunk_z: int = 64,
     adjoint_kernel2: bool = False,
     elementwise: str = "jnp",
+    view_order: str = "sequential",
 ):
-    """Run RL with the best strategy for the problem size and device fleet."""
+    """Run RL with the best strategy for the problem size and device fleet.
+
+    Every option is honored on every rung: when ``adjoint_kernel2`` is set,
+    the sharded/streamed rungs (which consume spatial kernels) receive a
+    materialized flip(kernel1) in place of data.kernel2 — equivalent to the
+    in-core conjugate-spectrum path (odd kernel dims enforced, matching the
+    in-core guard).  The sharded rung is inherently simultaneous; a
+    sequential request that lands there is noted via LMVN_TRACE.
+    """
+    import jax.numpy as jnp
+
     est = estimate_workspace_bytes(data)
     if adjoint_kernel2:
         est -= data.num_views * 4 * math.prod(data.spatial_shape)
+        if any(int(d) % 2 == 0 for d in data.kernel1.shape[-3:]):
+            raise ValueError(
+                "adjoint_kernel2 requires odd kernel1 dims; got "
+                f"{tuple(data.kernel1.shape[-3:])}"
+            )
     cap = int(headroom * device_capacity_bytes())
     n_dev = jax.device_count()
 
@@ -80,33 +96,67 @@ def deconvolve_auto(
             psi, data, num_iterations=num_iterations, lam=lam,
             min_value=min_value, algorithm=algorithm,
             adjoint_kernel2=adjoint_kernel2, elementwise=elementwise,
+            view_order=view_order,
+        )
+
+    if adjoint_kernel2:
+        # the remaining rungs consume spatial kernel2 stacks directly
+        data = MultiViewData(
+            views=data.views,
+            kernel1=data.kernel1,
+            kernel2=jnp.flip(data.kernel1, axis=(-3, -2, -1)),
+            weights=data.weights,
         )
 
     if n_dev > 1 and est < cap * n_dev:
-        from ..parallel.sharded import deconvolve_sharded_jit, make_mesh, shard_workspace
+        mesh = _pick_mesh(data.num_views, data.spatial_shape[0], n_dev)
+        if mesh is not None:
+            from ..parallel.sharded import deconvolve_sharded_jit, shard_workspace
 
-        V, Z = data.num_views, data.spatial_shape[0]
-        vp = math.gcd(V, n_dev)
-        zp = n_dev // vp
-        while Z % zp and zp > 1:  # shrink until the z axis divides
-            zp -= 1
-        mesh = make_mesh(view_parallel=vp, z_parallel=zp)
-        trace_print(
-            f"dispatch: sharded mesh view={vp} z={zp} "
-            f"(est {est>>20} MiB over {n_dev} devices)"
-        )
-        psi_s, data_s = shard_workspace(data, psi, mesh)
-        return deconvolve_sharded_jit(
-            psi_s, data_s, num_iterations=num_iterations, mesh=mesh, lam=lam,
-            min_value=min_value,
-        )
+            if view_order == "sequential":
+                trace_print(
+                    "dispatch: note — sharded rung uses the simultaneous "
+                    "view order (documented divergence)"
+                )
+            trace_print(
+                f"dispatch: sharded mesh {dict(mesh.shape)} "
+                f"(est {est>>20} MiB over {n_dev} devices)"
+            )
+            psi_s, data_s = shard_workspace(data, psi, mesh)
+            return deconvolve_sharded_jit(
+                psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
+                lam=lam, min_value=min_value,
+            )
+        trace_print("dispatch: no valid mesh factorization; streaming")
 
     trace_print(f"dispatch: streamed (est {est>>20} MiB > {cap>>20} MiB)")
     views = [np.asarray(data.views[v]) for v in range(data.num_views)]
     k1 = [np.asarray(data.kernel1[v]) for v in range(data.num_views)]
     k2 = [np.asarray(data.kernel2[v]) for v in range(data.num_views)]
-    ws = [np.asarray(data.weights[v]) for v in range(data.num_views)]
+    ws = [
+        np.asarray(jnp.broadcast_to(data.weights[v], data.spatial_shape))
+        for v in range(data.num_views)
+    ]
     return deconvolve_streamed(
         np.asarray(psi), views, k1, k2, ws, num_iterations, lam, min_value,
         chunk_z=chunk_z,
     )
+
+
+def _pick_mesh(V: int, Z: int, n_dev: int):
+    """Choose a ('view','z') factorization vp*zp == n_dev with V % vp == 0
+    and Z % zp == 0; None if no factorization exists (caller streams)."""
+    from ..parallel.sharded import make_mesh
+
+    best = None
+    for vp in range(1, n_dev + 1):
+        if n_dev % vp:
+            continue
+        zp = n_dev // vp
+        if V % vp == 0 and Z % zp == 0:
+            # prefer more view-parallelism (cheapest collective pattern)
+            if best is None or vp > best[0]:
+                best = (vp, zp)
+    if best is None:
+        return None
+    return make_mesh(view_parallel=best[0], z_parallel=best[1])

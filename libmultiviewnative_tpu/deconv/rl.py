@@ -195,10 +195,11 @@ def deconvolve(
     or per-view scalars (V,) — the uniform-blending case costs no HBM.
     """
     spatial = tuple(psi.shape[-3:])
-    if adjoint_kernel2 and algorithm != "direct":
-        # conj(spectrum) == spectrum-of-flipped only when the flip preserves
-        # the k//2 center voxel, i.e. odd dims (inc/padd_utils.h:25-27
-        # floor-center convention)
+    if adjoint_kernel2:
+        # The true adjoint kernel has center k-1-(k//2), which equals the
+        # k//2 floor-center convention (inc/padd_utils.h:25-27) only for odd
+        # dims — for spectral engines (conj identity) AND the direct engine
+        # (flip + floor-center is off by one voxel on even axes) alike.
         if any(int(d) % 2 == 0 for d in data.kernel1.shape[-3:]):
             raise ValueError(
                 "adjoint_kernel2 requires odd kernel1 dims; got "

@@ -56,20 +56,26 @@ def _streamed_convolve(
     kernel: np.ndarray,
     chunk: int,
     out: np.ndarray,
+    spectra_cache: dict,
 ) -> np.ndarray:
-    """Full-volume circular convolution, chunked through the device."""
+    """Full-volume circular convolution, chunked through the device.
+
+    ``spectra_cache`` maps (kernel id, ext shape) -> device spectrum; the
+    caller owns it across the whole iteration loop so each kernel is
+    forwarded ONCE per extended-chunk shape (mirrors the in-core driver's
+    one-time spectra prep, src/multiviewnative.cpp:146-174)."""
     (lo, _, _), (hi, _, _) = halo_widths(kernel.shape)
     Z = vol.shape[0]
-    ext_shapes = {}
     for z0, z1 in _chunk_bounds(Z, chunk):
         bz = z1 - z0
         ext_z = bz + lo + hi
-        if ext_z not in ext_shapes:
-            # one spectrum per extended-chunk shape (jit caches the programs)
-            ext_shapes[ext_z] = rfft3(
+        key = (id(kernel), ext_z)
+        k_hat = spectra_cache.get(key)
+        if k_hat is None:
+            k_hat = rfft3(
                 wrap_kernel(jnp.asarray(kernel), (ext_z,) + vol.shape[1:])
             )
-        k_hat = ext_shapes[ext_z]
+            spectra_cache[key] = k_hat
         ext = jnp.asarray(_gather_extended(vol, z0, z1, lo, hi))
         out[z0:z1] = np.asarray(_convolve_chunk(ext, k_hat, bz, lo))
     return out
@@ -102,17 +108,23 @@ def deconvolve_streamed(
         static_argnums=(),
     )
 
+    # materialize kernels ONCE so the spectra cache keys stay stable across
+    # the whole run (spectra are forwarded once per kernel x chunk shape)
+    k1s = [np.asarray(k, np.float32) for k in kernels1]
+    k2s = [np.asarray(k, np.float32) for k in kernels2]
+    spectra_cache: dict = {}
+
     for _ in range(num_iterations):
         for v in range(len(views)):
             # 1. blurred = psi (x) k1   (into scratch)
-            _streamed_convolve(psi, np.asarray(kernels1[v]), chunk_z, scratch)
+            _streamed_convolve(psi, k1s[v], chunk_z, scratch, spectra_cache)
             # 2. quotient = view / blurred (chunked elementwise)
             for z0, z1 in _chunk_bounds(psi.shape[0], chunk_z):
                 scratch[z0:z1] = np.asarray(
                     quot(jnp.asarray(views[v][z0:z1]), jnp.asarray(scratch[z0:z1]))
                 )
             # 3. integral = quotient (x) k2 (into scratch2)
-            _streamed_convolve(scratch, np.asarray(kernels2[v]), chunk_z, scratch2)
+            _streamed_convolve(scratch, k2s[v], chunk_z, scratch2, spectra_cache)
             # 4. psi update (chunked elementwise)
             for z0, z1 in _chunk_bounds(psi.shape[0], chunk_z):
                 psi[z0:z1] = np.asarray(

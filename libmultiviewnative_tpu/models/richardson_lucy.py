@@ -50,6 +50,7 @@ class RichardsonLucy:
                 algorithm=self.algorithm,
                 adjoint_kernel2=self.adjoint_kernel2,
                 elementwise=self.elementwise,
+                view_order=self.view_order,
             )
         return deconvolve_jit(
             psi0,

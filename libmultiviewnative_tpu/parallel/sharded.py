@@ -68,27 +68,20 @@ def _local_view_sweep(
     """One simultaneous RL sweep over this shard's views on z-blocks.
 
     psi: (Bz, Y, X) local block, replicated over 'view'.
-    views/weights: (Vl, Bz, Y, X); kernel1/2: (Vl, k...) replicated over 'z'.
-    ``algorithm``: 'fft' or 'dft' for the halo-extended local convolves
-    (halo-extended blocks are small/non-power-of-2 — DFT territory).
+    views/weights: (Vl, Bz, Y, X); kernel1/kernel2 are the PRE-FORWARDED
+    spectra stacks at the halo-extended extent (hoisted out of the
+    iteration loop by the caller — the in-core one-time spectra prep).
+    ``algorithm``: 'fft' or 'dft' selects the convolve engine matching the
+    spectrum representation.
     """
     local_spatial = psi.shape
-    if algorithm == "auto":
-        ext_max = max(local_spatial) + max(
-            int(kernel1.shape[-3]), int(kernel2.shape[-3])
-        )
-        algorithm = "dft" if ext_max <= 256 else "fft"
 
-    def one_view(view, k1, k2, w):
+    def one_view(view, k1h, k2h, w):
         if algorithm == "dft":
-            k1h = zblock_kernel_spectrum_split(k1, local_spatial)
-            k2h = zblock_kernel_spectrum_split(k2, local_spatial)
             integral = convolve_zblock_dft(psi, k1h, lo1, hi1, "z")
             integral = view * (1.0 / integral)
             integral = convolve_zblock_dft(integral, k2h, lo2, hi2, "z")
         else:
-            k1h = zblock_kernel_spectrum(k1, local_spatial)
-            k2h = zblock_kernel_spectrum(k2, local_spatial)
             integral = convolve_zblock(psi, k1h, lo1, hi1, "z")
             integral = view * (1.0 / integral)
             integral = convolve_zblock(integral, k2h, lo2, hi2, "z")
@@ -133,10 +126,34 @@ def deconvolve_sharded(
         )
 
     def step(psi_local, views, k1, k2, w):
+        local_spatial = psi_local.shape
+        algo = algorithm
+        if algo == "auto":
+            # halo-extended blocks are small and rarely power-of-2 — the
+            # MXU DFT engine's territory
+            ext_max = max(
+                local_spatial[0]
+                + max(lo1 + hi1, lo2 + hi2),
+                local_spatial[1],
+                local_spatial[2],
+            )
+            algo = "dft" if ext_max <= 256 else "fft"
+        # forward every kernel ONCE, outside the iteration scan
+        if algo == "dft":
+            k1h = jax.vmap(
+                lambda k: zblock_kernel_spectrum_split(k, local_spatial)
+            )(k1)
+            k2h = jax.vmap(
+                lambda k: zblock_kernel_spectrum_split(k, local_spatial)
+            )(k2)
+        else:
+            k1h = jax.vmap(lambda k: zblock_kernel_spectrum(k, local_spatial))(k1)
+            k2h = jax.vmap(lambda k: zblock_kernel_spectrum(k, local_spatial))(k2)
+
         def sweep(p, _):
             p = _local_view_sweep(
-                p, views, k1, k2, w, lam, min_value, lo1, hi1, lo2, hi2,
-                algorithm,
+                p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2, hi2,
+                algo,
             )
             return p, None
 

@@ -82,3 +82,62 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
         )
     )
     assert l2norm(got, want) < 1e-4
+
+
+def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
+    """Regression: adjoint_kernel2 must not be dropped when dispatch falls
+    to the streamed rung (a stale data.kernel2 must stay ignored)."""
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    data = _data(rng)  # (3,3,3) kernels - odd, adjoint-eligible
+    # poison kernel2 so using it would visibly change the result
+    poisoned = MultiViewData(
+        views=data.views,
+        kernel1=data.kernel1,
+        kernel2=jnp.ones_like(data.kernel2) / data.kernel2[0].size,
+        weights=data.weights,
+    )
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    want = np.asarray(
+        deconvolve_jit(psi0.copy(), poisoned, 2, adjoint_kernel2=True)
+    )
+    monkeypatch.setattr(dd, "device_capacity_bytes", lambda device=None: 1)
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    got = np.asarray(
+        deconvolve_auto(
+            psi0.copy(), poisoned, 2, adjoint_kernel2=True, chunk_z=8
+        )
+    )
+    assert l2norm(got, want) < 1e-5
+
+
+def test_auto_mesh_factorization_falls_back_to_stream(rng, monkeypatch):
+    """Regression: V=2 views, Z=15 (odd) on an 8-device fleet has no valid
+    ('view','z') factorization — dispatch must stream, not crash."""
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    data = _data(rng, V=2, shape=(15, 8, 8))
+    psi0 = jnp.full((15, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    est = dd.estimate_workspace_bytes(data)
+    monkeypatch.setattr(
+        dd, "device_capacity_bytes", lambda device=None: int(est / 2)
+    )
+    got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, chunk_z=5))
+    want = np.asarray(deconvolve_jit(psi0.copy(), data, 2))
+    assert l2norm(got, want) < 1e-5
+
+
+def test_model_view_order_honored_under_auto_dispatch(rng):
+    from libmultiviewnative_tpu.models import RichardsonLucy
+
+    data = _data(rng)
+    model = RichardsonLucy(
+        num_iterations=2, view_order="simultaneous", algorithm="fft",
+        auto_dispatch=True,
+    )
+    got = np.asarray(model.run(data))
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    want = np.asarray(
+        deconvolve_jit(psi0, data, 2, view_order="simultaneous")
+    )
+    assert l2norm(got, want) < 1e-6
