@@ -20,7 +20,7 @@ def main(argv=None):
     p = base_parser("batched 3D convolution (folds) benchmark")
     p.add_argument("-n", "--num_stacks", type=int, default=8)
     p.add_argument("-k", "--kernel_dims", type=parse_dims, default=(21, 21, 21))
-    p.add_argument("--engine", choices=["fft", "direct"], default="fft")
+    p.add_argument("--engine", choices=["fft", "dft", "direct"], default="fft")
     args = p.parse_args(argv)
     jax = setup_platform(args.platform)
     import numpy as np
@@ -45,6 +45,14 @@ def main(argv=None):
             forward_kernel_spectrum(kernel, args.stack_dims)
         )
         fn = jax.jit(lambda x: convolve_spectrum(x, k_hat))
+    elif args.engine == "dft":
+        from libmultiviewnative_tpu.core.dft import (
+            dft_convolve_spectrum,
+            kernel_spectrum_split,
+        )
+
+        kre, kim = kernel_spectrum_split(kernel, tuple(args.stack_dims))
+        fn = jax.jit(lambda x: dft_convolve_spectrum(x, kre, kim))
     else:
         fn = jax.jit(lambda x: direct_convolve3d(x, kernel, mode="circular"))
 

@@ -134,6 +134,10 @@ const char* mvn_tpu_last_error(void) { return g_last_error.c_str(); }
 void inplace_cpu_deconvolve(imageType* psi, struct workspace input,
                             int nthreads) {
   (void)nthreads;
+  if (input.num_views_ == 0 || input.data_ == nullptr) {
+    set_last_error("inplace_cpu_deconvolve: empty workspace");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* views = PyList_New(input.num_views_);
