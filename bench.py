@@ -4,16 +4,15 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload matches the reference's synthetic deconvolution bench
-(/root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71 defaults:
-6 views, kernels 21^3/25^3, 10 iterations) scaled to the BASELINE.json
-headline config (4-view 512^3 when HBM allows; falls back adaptively).
+Workload: 4 views at 256^3 with 21^3/25^3 Gaussian kernels, 10 RL
+iterations (the reference synthetic bench's kernel/iteration defaults,
+/root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71, at the
+headline volume; 64^3 on non-TPU hosts).
 
-vs_baseline: BASELINE.md targets >=10x the reference cuFFT path per
-iteration at equal volume.  The reference publishes no absolute numbers
-(BASELINE.md), so vs_baseline is reported against a measured-here estimate
-of the reference workload's per-iteration cost model recorded in
-BENCH_baseline.json when present, else 1.0.
+vs_baseline: ratio against the measured CPU stand-in recorded in
+BENCH_baseline.json — only when that record's metric names the SAME
+workload; otherwise 1.0.  (The reference library publishes no absolute
+numbers, BASELINE.md.)
 """
 
 import json
@@ -82,32 +81,30 @@ def main():
             algorithm="auto",
         )
 
-    def run_and_fetch():
-        # host fetch forces completion: block_until_ready alone is not
-        # trustworthy on tunneled device platforms
-        return float(jnp.sum(run()))
-
-    run_and_fetch()  # warmup/compile
-    # two-point fit removes fixed dispatch/fetch overhead (tens of ms on a
-    # tunneled chip): T(n) = a + n*b -> report b
+    # warmup/compile with a full fetch (block_until_ready alone is not
+    # trustworthy on tunneled device platforms)
+    float(jnp.sum(run()))
+    # dispatch all timed repeats asynchronously, fetch once: a single PJRT
+    # device executes launches in dispatch order, so one RPC round trip
+    # covers all repeats instead of paying ~40ms per call
+    reps = 4
     t0 = time.perf_counter()
-    run_and_fetch()
-    t1 = time.perf_counter()
-    for _ in range(3):
-        run_and_fetch()
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / 2
-    if dt <= 0:  # overhead-dominated; fall back to mean
-        dt = (t2 - t0) / 4
+    out = None
+    for _ in range(reps):
+        out = run()
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / reps
 
     iters_per_sec = iters / dt
+    metric = f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed"
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
     if os.path.exists(base_path):
         try:
             base = json.load(open(base_path))
-            if base.get("value"):
+            # only comparable when the baseline measured the SAME workload
+            if base.get("value") and base.get("metric") == metric:
                 vs_baseline = iters_per_sec / float(base["value"])
         except Exception:
             pass
@@ -115,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
+                "metric": metric,
                 "value": round(iters_per_sec, 4),
                 "unit": "iterations/s",
                 "vs_baseline": round(vs_baseline, 4),

@@ -68,6 +68,10 @@ def main(argv=None):
     psi0 = jax.block_until_ready(initial_psi(ws.data, "average"))
 
     if args.sharded:
+        if args.adjoint_kernel2 or args.elementwise != "jnp":
+            p.error("--sharded does not support --adjoint_kernel2/--elementwise")
+        if args.engine not in ("fft", "dft"):
+            p.error("--sharded supports --engine fft or dft")
         vp, zp = (int(t) for t in args.sharded.lower().split("x"))
         from libmultiviewnative_tpu.parallel.sharded import (
             deconvolve_sharded_jit,
@@ -81,7 +85,7 @@ def main(argv=None):
         def fn():
             return deconvolve_sharded_jit(
                 psi_s + 0, data_s, num_iterations=args.iterations, mesh=mesh,
-                lam=args.lambda_,
+                lam=args.lambda_, algorithm=args.engine,
             )
 
     else:

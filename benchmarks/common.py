@@ -85,21 +85,19 @@ def time_fn(fn: Callable[[], object], repeats: int, warmup: int = 1) -> float:
 
 
 def time_fn_net(fn: Callable[[], object], repeats: int, warmup: int = 1) -> float:
-    """Per-execution ms with the fixed dispatch/fetch overhead removed via a
-    two-point fit: T(n) = a + n*b -> b.  Use when per-call RPC overhead (tens
-    of ms on tunneled devices) would swamp the kernel time."""
+    """Per-execution ms with the per-call dispatch/fetch overhead amortized:
+    all `repeats` executions are DISPATCHED asynchronously and only the last
+    result is fetched.  A single PJRT device executes launches in dispatch
+    order, so completion of the last implies completion of all — one RPC
+    round trip total instead of one per call."""
     for _ in range(max(warmup, 1)):
         _fetch(fn())
-    n1 = max(1, repeats // 4)
-    n2 = max(n1 + 1, repeats)
     t0 = time.perf_counter()
-    for _ in range(n1):
-        _fetch(fn())
-    t1 = time.perf_counter()
-    for _ in range(n2):
-        _fetch(fn())
-    t2 = time.perf_counter()
-    return 1e3 * ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    out = None
+    for _ in range(repeats):
+        out = fn()
+    _fetch(out)
+    return 1e3 * (time.perf_counter() - t0) / repeats
 
 
 def emit_row(repeats: int, total_ms: float, dims: Sequence[int], comment: str) -> None:

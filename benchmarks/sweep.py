@@ -69,26 +69,32 @@ def main(argv=None):
         "deconvolve": bench_deconvolve.main,
     }[args.bench]
 
-    rows = []
-    for dims in generate_dims(args.start, args.limit):
-        for mode in MODE_MATRIX[args.bench]:
-            argv_run = [
-                "-s", "x".join(str(d) for d in dims),
-                "-r", str(args.repeats),
-            ] + mode
-            if args.platform:
-                argv_run += ["--platform", args.platform]
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                runner(argv_run)
-            for line in buf.getvalue().splitlines():
-                if line and not line.startswith("#"):
-                    rows.append(line)
-                print(line)
-
-    if args.output:
-        with open(args.output, "a") as f:
-            f.write("\n".join(rows) + "\n")
+    out_f = open(args.output, "a") if args.output else None
+    try:
+        for dims in generate_dims(args.start, args.limit):
+            for mode in MODE_MATRIX[args.bench]:
+                argv_run = [
+                    "-s", "x".join(str(d) for d in dims),
+                    "-r", str(args.repeats),
+                ] + mode
+                if args.platform:
+                    argv_run += ["--platform", args.platform]
+                buf = io.StringIO()
+                try:
+                    with contextlib.redirect_stdout(buf):
+                        runner(argv_run)
+                except Exception as exc:  # OOM / device crash: keep sweeping
+                    print(f"# config {dims} {mode} failed: {exc}")
+                    continue
+                for line in buf.getvalue().splitlines():
+                    if line and not line.startswith("#") and out_f:
+                        # append per row so a crash never loses prior results
+                        out_f.write(line + "\n")
+                        out_f.flush()
+                    print(line)
+    finally:
+        if out_f:
+            out_f.close()
 
 
 if __name__ == "__main__":

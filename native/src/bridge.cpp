@@ -28,10 +28,17 @@ namespace {
 
 std::mutex g_init_mutex;
 bool g_we_initialized = false;
+std::mutex g_error_mutex;
 std::string g_last_error;
+/* stable buffer returned by mvn_tpu_last_error (the std::string may be
+ * reallocated by a concurrent writer; callers get a snapshot) */
+char g_error_snapshot[1024];
 
 void set_last_error(const std::string& msg) {
-  g_last_error = msg;
+  {
+    std::lock_guard<std::mutex> lock(g_error_mutex);
+    g_last_error = msg;
+  }
   std::fprintf(stderr, "[multiviewnative_tpu] %s\n", msg.c_str());
 }
 
@@ -73,8 +80,14 @@ void record_py_error(const char* where) {
   if (value) {
     PyObject* s = PyObject_Str(value);
     if (s) {
-      msg += ": ";
-      msg += PyUnicode_AsUTF8(s);
+      const char* utf8 = PyUnicode_AsUTF8(s);
+      if (utf8) {
+        msg += ": ";
+        msg += utf8;
+      } else {
+        PyErr_Clear(); /* conversion failure must not clobber the original */
+        msg += ": <unprintable exception>";
+      }
       Py_DECREF(s);
     }
   }
@@ -129,12 +142,17 @@ void mvn_tpu_finalize(void) {
   }
 }
 
-const char* mvn_tpu_last_error(void) { return g_last_error.c_str(); }
+const char* mvn_tpu_last_error(void) {
+  std::lock_guard<std::mutex> lock(g_error_mutex);
+  std::snprintf(g_error_snapshot, sizeof(g_error_snapshot), "%s",
+                g_last_error.c_str());
+  return g_error_snapshot;
+}
 
 void inplace_cpu_deconvolve(imageType* psi, struct workspace input,
                             int nthreads) {
   (void)nthreads;
-  if (input.num_views_ == 0 || input.data_ == nullptr) {
+  if (!psi || input.num_views_ == 0 || input.data_ == nullptr) {
     set_last_error("inplace_cpu_deconvolve: empty workspace");
     return;
   }
@@ -178,6 +196,10 @@ void inplace_gpu_deconvolve(imageType* psi, struct workspace input,
 void inplace_cpu_convolution(imageType* im, int* imDim, imageType* kernel,
                              int* kernelDim, int nthreads) {
   (void)nthreads;
+  if (!im || !imDim || !kernel || !kernelDim) {
+    set_last_error("inplace_cpu_convolution: null argument");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* args = Py_BuildValue("(KNKN)", addr(im), dims_tuple(imDim),
@@ -211,6 +233,10 @@ void convolution3DfftCUDAInPlace_core(imageType* im, int* imDim,
 void compute_quotient(imageType* input, imageType* output, size_t size,
                       int device) {
   (void)device;
+  if (!input || !output) {
+    set_last_error("compute_quotient: null argument");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* args =
@@ -223,6 +249,10 @@ void compute_final_values(imageType* image, imageType* integral,
                           imageType* weight, size_t size, float minValue,
                           double lambda, int device) {
   (void)device;
+  if (!image || !integral || !weight) {
+    set_last_error("compute_final_values: null argument");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* args = Py_BuildValue("(KKKKfd)", addr(image), addr(integral),
@@ -235,6 +265,10 @@ void compute_final_values(imageType* image, imageType* integral,
 void iterate_fft_plain(imageType* input, imageType* kernel, imageType* output,
                        int* input_dims, int* kernel_dims, int device) {
   (void)device;
+  if (!input || !kernel || !output || !input_dims || !kernel_dims) {
+    set_last_error("iterate_fft_plain: null argument");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* args =
@@ -250,6 +284,10 @@ void iterate_fft_tikhonov(imageType* input, imageType* kernel,
                           int device) {
   (void)device;
   (void)size;
+  if (!input || !kernel || !output || !input_dims || !kernel_dims) {
+    set_last_error("iterate_fft_tikhonov: null argument");
+    return;
+  }
   if (ensure_python()) return;
   GilGuard gil;
   PyObject* args = Py_BuildValue(

@@ -59,7 +59,8 @@ def main():
 
     views, k1s, k2s, ws = [], [], [], []
     for v in range(NUM_VIEWS):
-        sigma = (1.0 + 0.25 * v, 1.5, 1.0 + 0.1 * v)  # anisotropic-ish blur
+        # isotropic Gaussian per view; anisotropy comes from the per-view
+        # KSHAPES supports (kernel extent differs per axis)
         k1 = gaussian_kernel(KSHAPES[v], sigma=1.0 + 0.3 * v).astype(np.float64)
         k2 = np.flip(k1).copy()
         k_hat = np.fft.rfftn(np_wrap_kernel(k1, SHAPE))
