@@ -180,6 +180,7 @@ def deconvolve(
     algorithm: str = "fft",
     adjoint_kernel2: bool = False,
     elementwise: str = "jnp",
+    track_convergence: bool = False,
 ) -> jnp.ndarray:
     """Run ``num_iterations`` RL sweeps over all views.
 
@@ -262,6 +263,14 @@ def deconvolve(
     else:
         raise ValueError(f"unknown view_order {view_order!r}")
 
+    if track_convergence:
+
+        def sweep_tracked(p, _):
+            nxt, _unused = sweep(p, None)
+            return nxt, jnp.sqrt(jnp.mean((nxt - p) ** 2))
+
+        return lax.scan(sweep_tracked, psi, None, length=num_iterations)
+
     psi, _ = lax.scan(sweep, psi, None, length=num_iterations)
     return psi
 
@@ -302,6 +311,48 @@ def deconvolve_jit(
         algorithm,
         adjoint_kernel2,
         elementwise,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations",
+        "lam",
+        "min_value",
+        "view_order",
+        "algorithm",
+        "adjoint_kernel2",
+    ),
+)
+def deconvolve_with_history(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
+):
+    """Like :func:`deconvolve` but also returns the per-sweep update norms
+    ``sqrt(mean((psi_i - psi_{i-1})^2))`` — the convergence monitor users
+    build externally around the reference's psi_i snapshots
+    (tests/tiff_fixtures.hpp:453-462), computed in-graph for free.
+
+    Returns (psi, deltas) with deltas shaped (num_iterations,).
+    """
+
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
+        track_convergence=True,
     )
 
 
