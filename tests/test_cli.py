@@ -46,3 +46,44 @@ def test_cli_roundtrip(tmp_path, capsys):
 def test_cli_arg_validation(tmp_path):
     with pytest.raises(SystemExit):
         cli_main(["--view", "a.tif", "-o", "x.tif"])  # missing --psf
+
+
+def test_cli_h5_roundtrip(tmp_path, capsys):
+    """h5 inputs (file:dataset) and h5 output."""
+    import h5py
+
+    from libmultiviewnative_tpu.io.stacks import save_stack_h5, load_stack_h5
+
+    shape = (12, 12, 12)
+    rng = np.random.default_rng(5)
+    psf = gaussian_kernel((5, 5, 5), 1.2)
+    blurred = np_convolve_spectrum(
+        np.full(shape, 1.0), np.fft.rfftn(np_wrap_kernel(psf, shape))
+    ).astype(np.float32)
+
+    vp = str(tmp_path / "views.h5")
+    save_stack_h5(vp, v0=blurred)
+    kp = str(tmp_path / "psf.tif")
+    write_tiff_stack(kp, psf)
+    out = str(tmp_path / "out.h5")
+
+    rc = cli_main([
+        "--view", f"{vp}:v0", "--psf", kp, "-o", out, "-i", "3",
+        "--lambda", "0", "--init", "wiener",
+    ])
+    assert rc == 0
+    result = load_stack_h5(out, "psi")
+    assert result.shape == shape and np.isfinite(result).all()
+
+
+def test_open_stack_h5_chunked_reads(tmp_path):
+    from libmultiviewnative_tpu.io.stacks import open_stack_h5, save_stack_h5
+
+    a = np.random.default_rng(1).normal(size=(20, 6, 6)).astype(np.float32)
+    p = str(tmp_path / "c.h5")
+    save_stack_h5(p, chunks_z=4, vol=a)
+    f, dset = open_stack_h5(p, "vol")
+    try:
+        np.testing.assert_array_equal(np.asarray(dset[4:8]), a[4:8])
+    finally:
+        f.close()
