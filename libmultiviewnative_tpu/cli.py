@@ -88,11 +88,22 @@ def main(argv=None) -> int:
     V = len(args.view)
     views = [_load(v) for v in args.view]
     psfs = [_load(k).astype(np.float32) for k in args.psf]
-    k2s = (
-        [_load(k).astype(np.float32) for k in args.kernel2]
-        if args.kernel2
-        else [np.flip(k).copy() for k in psfs]
-    )
+    if args.kernel2:
+        k2s = [_load(k).astype(np.float32) for k in args.kernel2]
+    else:
+        # default adjoint kernel2 = flip(psf): under the k//2 wrap-center
+        # convention (inc/padd_utils.h:25-27) a flipped EVEN-dim kernel is
+        # a one-voxel-shifted adjoint — the exact case the library's
+        # adjoint_kernel2 guard rejects.  Refuse instead of silently
+        # deconvolving with shifted math.
+        for psf_path, k in zip(args.psf, psfs):
+            if any(int(d) % 2 == 0 for d in k.shape):
+                p.error(
+                    f"--psf {psf_path} has even dims {tuple(k.shape)}; the "
+                    "default kernel2=flip(psf) is only a valid adjoint for "
+                    "odd kernel dims — pass --kernel2 explicitly"
+                )
+        k2s = [np.flip(k).copy() for k in psfs]
     k1_shape = tuple(max(int(k.shape[d]) for k in psfs) for d in range(3))
     k2_shape = tuple(max(int(k.shape[d]) for k in k2s) for d in range(3))
     weights = (

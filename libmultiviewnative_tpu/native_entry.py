@@ -98,13 +98,19 @@ def iterate_fft_plain(
     input_addr: int, kernel_addr: int, output_addr: int, input_dims, kernel_dims
 ) -> None:
     """One RL view step; reference signature (.h:90) carries view data in
-    ``input`` and psi in ``output``, kernel1 doubling as kernel2's mirror
-    (legacy single-kernel form, src/multiviewnative.cu:395-494)."""
+    ``input``, kernel1 doubling as kernel2's mirror (legacy single-kernel
+    form).  The reference treats ``output`` as WRITE-ONLY and starts psi
+    from the input buffer (src/multiviewnative.cu:463-465 copy input ->
+    d_image_/d_initial_); mirroring that, psi0 = view — an uninitialized
+    output buffer must not influence the result."""
     view = _wrap(input_addr, input_dims)
     kernel = _wrap(kernel_addr, kernel_dims)
-    psi = _wrap(output_addr, input_dims)
+    out = _wrap(output_addr, input_dims)
     weights = np.ones_like(view)
-    psi[...] = api.iterate_fft_plain(psi, view, kernel, np.flip(kernel).copy(), weights)
+    psi0 = view.copy()
+    out[...] = api.iterate_fft_plain(
+        psi0, view, kernel, np.flip(kernel).copy(), weights
+    )
 
 
 def iterate_fft_tikhonov(
@@ -116,12 +122,15 @@ def iterate_fft_tikhonov(
     min_value: float,
     lambda_: float,
 ) -> None:
+    """Tikhonov variant of :func:`iterate_fft_plain`; same write-only
+    output contract (src/multiviewnative.cu:496-595)."""
     view = _wrap(input_addr, input_dims)
     kernel = _wrap(kernel_addr, kernel_dims)
-    psi = _wrap(output_addr, input_dims)
+    out = _wrap(output_addr, input_dims)
     weights = np.ones_like(view)
-    psi[...] = api.iterate_fft_tikhonov(
-        psi,
+    psi0 = view.copy()
+    out[...] = api.iterate_fft_tikhonov(
+        psi0,
         view,
         kernel,
         np.flip(kernel).copy(),

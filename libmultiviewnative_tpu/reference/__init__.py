@@ -9,4 +9,11 @@ truth by the brute-force oracle in :mod:`.oracle`
 """
 
 from .numpy_ref import np_convolve_spectrum, np_deconvolve, np_rl_view_step, np_wrap_kernel
-from .oracle import direct_convolve, l1norm, l2norm, l2norm_within_limits
+from .oracle import (
+    direct_convolve,
+    l1norm,
+    l2norm,
+    l2norm_within_limits,
+    rms,
+    rms_within_limits,
+)

@@ -61,18 +61,22 @@ def direct_convolve(
 
 
 def l2norm(a: np.ndarray, b: np.ndarray) -> float:
-    """sqrt(sum((a-b)^2) / N) — the reference's normalized L2
-    (tests/test_algorithms.hpp:87-100)."""
+    """sum((a-b)^2) — REFERENCE-FAITHFUL: the reference's "l2norm" is the
+    raw sum of squared differences, no sqrt and no 1/N
+    (tests/test_algorithms.hpp:88-99).  Thresholds quoted from the
+    reference acceptance tests (40 / 70 / 1e-2, test_cpu_deconvolve.cpp)
+    apply to THIS quantity at the reference pack's volume."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    return float(np.sqrt(np.sum((a - b) ** 2) / a.size))
+    return float(np.sum((a - b) ** 2))
 
 
 def l2norm_within_limits(
     a: np.ndarray, b: np.ndarray, lower_frac: float = 0.3, upper_frac: float = 0.7
 ) -> float:
-    """L2 over the central crop [lower_frac, upper_frac) per axis
-    (tests/test_algorithms.hpp:102-135 — used with 0.3/0.7 by
+    """Raw sum of squared diffs over the central crop [lower_frac,
+    upper_frac) per axis — reference-faithful
+    (tests/test_algorithms.hpp:102-135; used with 0.3/0.7 by
     test_cpu_deconvolve.cpp:87 and 0.25/0.75 by test_gpu_deconvolve.cpp:68)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -80,6 +84,25 @@ def l2norm_within_limits(
         slice(int(lower_frac * n), int(upper_frac * n)) for n in a.shape
     )
     return l2norm(a[sl], b[sl])
+
+
+def rms(a: np.ndarray, b: np.ndarray) -> float:
+    """sqrt(mean((a-b)^2)) — volume-independent error measure used by this
+    repo's own tolerance gates (NOT the reference norm; see l2norm)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def rms_within_limits(
+    a: np.ndarray, b: np.ndarray, lower_frac: float = 0.3, upper_frac: float = 0.7
+) -> float:
+    """RMS over the central crop [lower_frac, upper_frac) per axis."""
+    a = np.asarray(a, np.float64)
+    sl = tuple(
+        slice(int(lower_frac * n), int(upper_frac * n)) for n in a.shape
+    )
+    return rms(np.asarray(a)[sl], np.asarray(b)[sl])
 
 
 def l1norm(a: np.ndarray, b: np.ndarray) -> float:

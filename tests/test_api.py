@@ -14,7 +14,7 @@ from libmultiviewnative_tpu.reference.numpy_ref import (
     np_rl_view_step,
     np_wrap_kernel,
 )
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 
@@ -32,7 +32,7 @@ def test_deconvolve_flat_matches_reference():
     psi0 = np.full(imgs[0].shape, float(np.mean(imgs)), np.float32)
     out = api.deconvolve_flat(psi0, imgs, k1s, k2s, ws, num_iterations=2, lambda_=0.0)
     gold = np_deconvolve(psi0, imgs, k1s, k2s, ws, num_iterations=2, lam=0.0)
-    assert l2norm(out, gold) < 1e-2
+    assert rms(out, gold) < 1e-2
 
 
 def test_convolution3d_identity():
@@ -70,7 +70,7 @@ def test_iterate_fft_plain_matches_reference_step():
         0.0,
         1e-4,
     )
-    assert l2norm(out, gold) < 1e-2
+    assert rms(out, gold) < 1e-2
 
 
 def test_iterate_fft_tikhonov_runs():
@@ -78,6 +78,42 @@ def test_iterate_fft_tikhonov_runs():
     psi0 = np.full(imgs[0].shape, 10.0, np.float32)
     out = api.iterate_fft_tikhonov(psi0, imgs[0], k1s[0], k2s[0], ws[0], lambda_=0.006)
     assert np.all(np.isfinite(out))
+
+
+def test_native_entry_iterate_output_write_only():
+    """Bridge-level iterate_fft_* must start psi from the INPUT buffer; the
+    output buffer is write-only (src/multiviewnative.cu:463-465) — garbage
+    in the caller's out-buffer must not leak into the result."""
+    from libmultiviewnative_tpu import native_entry
+
+    rng = np.random.default_rng(7)
+    view = rng.gamma(2.0, 20.0, (8, 8, 8)).astype(np.float32)
+    kernel = gaussian_kernel((3, 3, 3), 1.0)
+
+    def run(fill):
+        out = np.full(view.shape, fill, np.float32)
+        native_entry.iterate_fft_plain(
+            view.ctypes.data, kernel.ctypes.data, out.ctypes.data,
+            view.shape, kernel.shape,
+        )
+        return out
+
+    a = run(np.nan)  # uninitialized-style garbage
+    b = run(123.0)
+    np.testing.assert_array_equal(a, b)
+    assert np.all(np.isfinite(a))
+    # and it equals the documented psi0 = view semantics
+    want = api.iterate_fft_plain(
+        view.copy(), view, kernel, np.flip(kernel).copy(), np.ones_like(view)
+    )
+    np.testing.assert_array_equal(a, want)
+
+    out_t = np.full(view.shape, np.nan, np.float32)
+    native_entry.iterate_fft_tikhonov(
+        view.ctypes.data, kernel.ctypes.data, out_t.ctypes.data,
+        view.shape, kernel.shape, 1e-4, 0.006,
+    )
+    assert np.all(np.isfinite(out_t))
 
 
 def test_device_queries():

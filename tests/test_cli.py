@@ -87,3 +87,16 @@ def test_open_stack_h5_chunked_reads(tmp_path):
         np.testing.assert_array_equal(np.asarray(dset[4:8]), a[4:8])
     finally:
         f.close()
+
+
+def test_cli_rejects_even_psf_without_kernel2(tmp_path):
+    """Default kernel2=flip(psf) is a shifted adjoint for even kernel dims
+    (the case rl.py's adjoint guard rejects) — the CLI must refuse it."""
+    shape = (8, 8, 8)
+    view = np.ones(shape, np.float32)
+    psf = np.ones((4, 4, 4), np.float32) / 64.0  # even dims
+    vp, kp = str(tmp_path / "v.tif"), str(tmp_path / "k.tif")
+    write_tiff_stack(vp, view)
+    write_tiff_stack(kp, psf)
+    with pytest.raises(SystemExit):
+        cli_main(["--view", vp, "--psf", kp, "-o", str(tmp_path / "o.tif")])

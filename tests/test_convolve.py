@@ -17,7 +17,7 @@ from libmultiviewnative_tpu.core.convolve import (
     fft_convolve3d,
 )
 from libmultiviewnative_tpu.core.fft import forward_kernel_spectrum
-from libmultiviewnative_tpu.reference.oracle import direct_convolve, l2norm
+from libmultiviewnative_tpu.reference.oracle import direct_convolve, rms
 
 from fixtures import convolution_fixture_3d
 
@@ -29,7 +29,7 @@ KNAMES = sorted(KERNELS)
 def test_fft_convolve_linear_matches_oracle(kname):
     out = np.asarray(fft_convolve3d(IMAGE, KERNELS[kname], mode="linear"))
     # float32 FFT vs float64 oracle; values up to ~512*27 -> atol scaled
-    assert l2norm(out, EXPECTED[kname]) < 1e-2
+    assert rms(out, EXPECTED[kname]) < 1e-2
     np.testing.assert_allclose(out, EXPECTED[kname], rtol=2e-4, atol=2e-2)
 
 
@@ -89,4 +89,4 @@ def test_fft_roundtrip_stability(shape):
 
     x = np.arange(np.prod(shape), dtype=np.float32).reshape(shape)
     back = np.asarray(irfft3(rfft3(x), shape))
-    assert l2norm(back, x) < 1e-3 * x.mean()
+    assert rms(back, x) < 1e-3 * x.mean()

@@ -18,7 +18,7 @@ from libmultiviewnative_tpu.core.dft import (
 )
 from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
 from libmultiviewnative_tpu.deconv.workspace import MultiViewData
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 
@@ -40,7 +40,7 @@ def test_dft_roundtrip(shape, rng):
     plan = make_plan(shape)
     re, im = dft3(jnp.asarray(x), plan)
     back = np.asarray(idft3(re, im, plan))
-    assert l2norm(back, x) < 1e-5
+    assert rms(back, x) < 1e-5
 
 
 def test_dft_convolve_matches_fft_engine(rng):
@@ -111,7 +111,7 @@ def test_deconvolve_dft_algorithm_matches_fft(rng):
     psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
     a = np.asarray(deconvolve_jit(psi0.copy(), data, 3, algorithm="fft"))
     b = np.asarray(deconvolve_jit(psi0.copy(), data, 3, algorithm="dft"))
-    assert l2norm(a, b) < 1e-3
+    assert rms(a, b) < 1e-3
 
 
 def test_deconvolve_fused_algorithm_matches_fft(rng):
@@ -128,7 +128,7 @@ def test_deconvolve_fused_algorithm_matches_fft(rng):
     psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
     a = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fft"))
     b = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fused"))
-    assert l2norm(a, b) < 1e-3
+    assert rms(a, b) < 1e-3
 
 
 @pytest.mark.parametrize("shape", [(8, 160, 12), (160, 8, 12), (12, 144, 16)])

@@ -15,7 +15,7 @@ from libmultiviewnative_tpu.deconv.dispatch import (
 )
 from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
 from libmultiviewnative_tpu.deconv.workspace import MultiViewData
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 
@@ -48,7 +48,7 @@ def test_auto_incore_matches_reference_path(rng):
     want = np.asarray(deconvolve_jit(psi0.copy(), data, 2, lam=0.006))
     # auto picks the dft engine at this size; engines agree to transform
     # precision, not bitwise
-    assert l2norm(got, want) < 1e-4
+    assert rms(got, want) < 1e-4
 
 
 def test_auto_streamed_rung_matches(rng, monkeypatch):
@@ -61,7 +61,7 @@ def test_auto_streamed_rung_matches(rng, monkeypatch):
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, lam=0.006, chunk_z=8))
     want = np.asarray(deconvolve_jit(psi0.copy(), data, 2, lam=0.006))
-    assert l2norm(got, want) < 1e-5
+    assert rms(got, want) < 1e-5
 
 
 def test_auto_sharded_rung_matches(rng, monkeypatch):
@@ -81,7 +81,7 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
             psi0.copy(), data, 2, lam=0.006, view_order="simultaneous"
         )
     )
-    assert l2norm(got, want) < 1e-4
+    assert rms(got, want) < 1e-4
 
 
 def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
@@ -108,7 +108,7 @@ def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
             psi0.copy(), poisoned, 2, adjoint_kernel2=True, chunk_z=8
         )
     )
-    assert l2norm(got, want) < 1e-5
+    assert rms(got, want) < 1e-5
 
 
 def test_auto_mesh_factorization_falls_back_to_stream(rng, monkeypatch):
@@ -124,7 +124,7 @@ def test_auto_mesh_factorization_falls_back_to_stream(rng, monkeypatch):
     )
     got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, chunk_z=5))
     want = np.asarray(deconvolve_jit(psi0.copy(), data, 2))
-    assert l2norm(got, want) < 1e-5
+    assert rms(got, want) < 1e-5
 
 
 def test_model_view_order_honored_under_auto_dispatch(rng):
@@ -140,4 +140,4 @@ def test_model_view_order_honored_under_auto_dispatch(rng):
     want = np.asarray(
         deconvolve_jit(psi0, data, 2, view_order="simultaneous")
     )
-    assert l2norm(got, want) < 1e-6
+    assert rms(got, want) < 1e-6

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
 from libmultiviewnative_tpu.deconv.workspace import MultiViewData
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 

@@ -13,7 +13,7 @@ from libmultiviewnative_tpu.reference.numpy_ref import (
     np_convolve_spectrum,
     np_wrap_kernel,
 )
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 
@@ -54,7 +54,7 @@ def test_wiener_deconvolves(problem):
     phantom, data = problem
     out = np.asarray(WienerFilter(nsr=1e-4).run(data))
     blurred = np.asarray(data.views[0])
-    assert l2norm(out, phantom) < l2norm(blurred, phantom)
+    assert rms(out, phantom) < rms(blurred, phantom)
     assert out.min() >= 0.0
 
 
@@ -65,4 +65,4 @@ def test_wiener_init_accelerates_rl(problem):
     wiener0 = WienerFilter(nsr=1e-3).run(data)
     # RL needs strictly positive psi
     from_wiener = np.asarray(rl.run(data, psi0=jnp.maximum(wiener0, 1e-3)))
-    assert l2norm(from_wiener, phantom) < l2norm(from_avg, phantom)
+    assert rms(from_wiener, phantom) < rms(from_avg, phantom)

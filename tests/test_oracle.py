@@ -10,6 +10,8 @@ from libmultiviewnative_tpu.reference.oracle import (
     l1norm,
     l2norm,
     l2norm_within_limits,
+    rms,
+    rms_within_limits,
 )
 
 
@@ -56,10 +58,19 @@ def test_sum_preservation_wrap():
 def test_norms():
     a = np.zeros((10, 10, 10))
     b = np.ones((10, 10, 10)) * 2.0
-    assert l2norm(a, b) == pytest.approx(2.0)
+    # reference semantics: raw SUM of squared diffs (test_algorithms.hpp:88-99)
+    assert l2norm(a, b) == pytest.approx(4.0 * a.size)
+    assert rms(a, b) == pytest.approx(2.0)
     assert l1norm(a, b) == pytest.approx(2.0)
     # central crop norm sees only the middle
     c = a.copy()
     c[0, 0, 0] = 100.0  # corner disturbance invisible to the central crop
     assert l2norm_within_limits(c, a, 0.3, 0.7) == 0.0
+    assert rms_within_limits(c, a, 0.3, 0.7) == 0.0
     assert l2norm(c, a) > 0
+    # crop norm counts the same voxels as an explicit central slice
+    d = np.arange(1000, dtype=np.float64).reshape(10, 10, 10)
+    sl = (slice(3, 7),) * 3
+    assert l2norm_within_limits(d, a, 0.3, 0.7) == pytest.approx(
+        np.sum(d[sl] ** 2)
+    )

@@ -22,7 +22,7 @@ from libmultiviewnative_tpu.parallel.sharded import (
     make_mesh,
     shard_workspace,
 )
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 shard_map = jax.shard_map
@@ -89,7 +89,7 @@ def test_sharded_deconvolve_matches_single_device_simultaneous(vp, zp):
     out = np.asarray(
         deconvolve_sharded(psi_s, data_s, num_iterations=2, mesh=mesh)
     )
-    assert l2norm(out, want) < 1e-4
+    assert rms(out, want) < 1e-4
     np.testing.assert_allclose(out, want, rtol=5e-3, atol=5e-3)
 
 
@@ -113,4 +113,4 @@ def test_sharded_dft_engine_matches_fft(algorithm):
     b = np.asarray(
         deconvolve_sharded(psi_s + 0, data_s, 2, mesh, algorithm=algorithm)
     )
-    assert l2norm(a, b) < 1e-4
+    assert rms(a, b) < 1e-4

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
 from libmultiviewnative_tpu.deconv.streamed import deconvolve_streamed
 from libmultiviewnative_tpu.deconv.workspace import MultiViewData
-from libmultiviewnative_tpu.reference.oracle import l2norm
+from libmultiviewnative_tpu.reference.oracle import rms
 from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
 
@@ -37,7 +37,7 @@ def test_streamed_matches_incore(chunk_z, rng):
     want = np.asarray(
         deconvolve_jit(jnp.asarray(psi0), data, num_iterations=2, lam=0.006)
     )
-    assert l2norm(got, want) < 1e-5
+    assert rms(got, want) < 1e-5
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
