@@ -16,6 +16,7 @@ The decision is logged under LMVN_TRACE like the reference's stdout notice
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional
 
 import jax
@@ -27,16 +28,42 @@ from .streamed import deconvolve_streamed
 from .workspace import MultiViewData
 
 
+class DispatchDivergenceWarning(UserWarning):
+    """A requested option cannot be honored on the selected execution rung
+    and the delivered math differs from the request (e.g. a sequential
+    view-order request served by the inherently simultaneous sharded rung)."""
+
+
+def resolve_algorithm(algorithm: str, spatial_shape) -> str:
+    """The engine 'auto' resolves to for a given spatial shape (mirrors
+    deconv.rl.deconvolve's crossover: MXU DFT wins <= 256/axis on v5e)."""
+    if algorithm != "auto":
+        return algorithm
+    return "dft" if max(spatial_shape) <= 256 else "fft"
+
+
 def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int:
     """Device-resident working set of the in-core RL program.
 
-    Counts: stacked views+weights (2V), both kernel spectrum sets (~2V
-    volume-equivalents: rfft half-spectrum complex64 == one f32 volume per
-    kernel per view), psi/integral/FFT temporaries (~8 volumes) — the
-    analog of the reference's ``(4V+2)*stack + workarea`` arithmetic."""
-    vol = 4 * math.prod(data.spatial_shape)
+    Counts: stacked views+weights (2V), both kernel spectrum sets, and
+    psi/integral/FFT temporaries (~8 volumes) — the analog of the
+    reference's ``(4V+2)*stack + workarea`` arithmetic
+    (src/multiviewnative.cu:97-114).
+
+    Engine-aware: the fft engine and the compact dft plan store hermitian
+    half-spectra (complex64 at (Z, Y, X/2+1) ~= one f32 volume per kernel
+    per view), but the long-axis dft engine (any axis > 256, FullDFTPlan)
+    keeps FULL split-complex spectra = 2 f32 volumes per kernel per view."""
+    spatial = data.spatial_shape
+    vol = 4 * math.prod(spatial)
     V = data.num_views
-    spectra = 2 * V * vol  # c64 at (Z, Y, X/2+1) ~= one f32 volume each
+    algo = resolve_algorithm(algorithm, spatial)
+    spectrum_vols = 1
+    if algo == "dft" and max(spatial) > 256:
+        spectrum_vols = 2  # FullDFTPlan: full spectrum, split re/im
+    elif algo == "direct":
+        spectrum_vols = 0  # kernels stay spatial (negligible vs volumes)
+    spectra = 2 * V * spectrum_vols * vol
     return (2 * V) * vol + spectra + 8 * vol
 
 
@@ -65,19 +92,26 @@ def deconvolve_auto(
     adjoint_kernel2: bool = False,
     elementwise: str = "jnp",
     view_order: str = "sequential",
+    strict: bool = False,
 ):
     """Run RL with the best strategy for the problem size and device fleet.
 
-    Every option is honored on every rung: when ``adjoint_kernel2`` is set,
-    the sharded/streamed rungs (which consume spatial kernels) receive a
-    materialized flip(kernel1) in place of data.kernel2 — equivalent to the
-    in-core conjugate-spectrum path (odd kernel dims enforced, matching the
-    in-core guard).  The sharded rung is inherently simultaneous; a
-    sequential request that lands there is noted via LMVN_TRACE.
+    Option fidelity contract:
+      * ``algorithm`` and ``elementwise`` are forwarded to every rung
+        (in-core, sharded, streamed).
+      * ``adjoint_kernel2``: the sharded/streamed rungs (which consume
+        spatial kernels) receive a materialized flip(kernel1) in place of
+        data.kernel2 — equivalent to the in-core conjugate-spectrum path
+        (odd kernel dims enforced, matching the in-core guard).
+      * view_order divergences are LOUD: the sharded rung is inherently
+        simultaneous, the streamed rung inherently sequential.  A request
+        the selected rung cannot honor raises ``ValueError`` when
+        ``strict=True``, else emits a :class:`DispatchDivergenceWarning`
+        and runs the rung's native order.
     """
     import jax.numpy as jnp
 
-    est = estimate_workspace_bytes(data)
+    est = estimate_workspace_bytes(data, algorithm)
     if adjoint_kernel2:
         est -= data.num_views * 4 * math.prod(data.spatial_shape)
         if any(int(d) % 2 == 0 for d in data.kernel1.shape[-3:]):
@@ -87,6 +121,11 @@ def deconvolve_auto(
             )
     cap = int(headroom * device_capacity_bytes())
     n_dev = jax.device_count()
+
+    def diverge(msg: str):
+        if strict:
+            raise ValueError(msg + " (strict=True)")
+        warnings.warn(msg, DispatchDivergenceWarning, stacklevel=3)
 
     if est < cap:
         trace_print(
@@ -114,9 +153,12 @@ def deconvolve_auto(
             from ..parallel.sharded import deconvolve_sharded_jit, shard_workspace
 
             if view_order == "sequential":
-                trace_print(
-                    "dispatch: note — sharded rung uses the simultaneous "
-                    "view order (documented divergence)"
+                diverge(
+                    "deconvolve_auto selected the mesh-sharded rung, which "
+                    "computes the SIMULTANEOUS view-order update — the "
+                    "requested sequential (reference-parity) math will "
+                    "differ.  Pass view_order='simultaneous' to opt in "
+                    "silently, or strict=True to forbid."
                 )
             trace_print(
                 f"dispatch: sharded mesh {dict(mesh.shape)} "
@@ -125,11 +167,18 @@ def deconvolve_auto(
             psi_s, data_s = shard_workspace(data, psi, mesh)
             return deconvolve_sharded_jit(
                 psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
-                lam=lam, min_value=min_value,
+                lam=lam, min_value=min_value, algorithm=algorithm,
+                elementwise=elementwise,
             )
         trace_print("dispatch: no valid mesh factorization; streaming")
 
     trace_print(f"dispatch: streamed (est {est>>20} MiB > {cap>>20} MiB)")
+    if view_order == "simultaneous":
+        diverge(
+            "deconvolve_auto selected the streamed rung, which runs the "
+            "SEQUENTIAL view order — the requested simultaneous math will "
+            "differ."
+        )
     views = [np.asarray(data.views[v]) for v in range(data.num_views)]
     k1 = [np.asarray(data.kernel1[v]) for v in range(data.num_views)]
     k2 = [np.asarray(data.kernel2[v]) for v in range(data.num_views)]
@@ -139,7 +188,7 @@ def deconvolve_auto(
     ]
     return deconvolve_streamed(
         np.asarray(psi), views, k1, k2, ws, num_iterations, lam, min_value,
-        chunk_z=chunk_z,
+        chunk_z=chunk_z, algorithm=algorithm, elementwise=elementwise,
     )
 
 

@@ -3,19 +3,31 @@
 TPU-native analog of the reference's interleaved GPU strategy
 (/root/reference/src/gpu_deconvolve_methods.cuh:85-326): when the workspace
 cannot live on one chip, the volume stays in HOST memory and flows through
-the device in Z-chunks.  Where the reference hand-rolls 2 CUDA streams,
-pinned buffers, and kernel prefetch ("kick"), here each stage is a jitted
-chunk program and XLA/PJRT overlap the transfers.
+the device in Z-chunks.
 
-Stage structure per view (the reference's 4 steps, src/multiviewnative.cpp:191-228):
-  1. blurred  = psi (x) k1     — chunked overlap-save convolve (halo from
-                                  neighboring chunks in HOST memory; ring
-                                  wrap at volume ends = circular boundary)
-  2. quotient = view / blurred — chunked elementwise
-  3. integral = quotient (x) k2 — chunked overlap-save convolve
-  4. psi      = rl_update(...)  — chunked elementwise
+The reference overlaps transfer with compute via 2 CUDA streams, pinned
+buffers, and kernel prefetch ("kick",
+inc/gpu_convolve.cuh:57-98).  Here the same overlap comes from PJRT's
+async dispatch: chunk programs are ENQUEUED ahead of the host fetches, so
+chunk i+1's H2D + compute run while the host is still pulling chunk i's
+result ("software pipeline" of bounded depth — at most ``INFLIGHT`` chunk
+working sets live on the device, preserving the out-of-core property).
 
-Correctness is exact vs the in-core path (overlap-save with full halos).
+Stage fusion: the reference's 4 steps per view
+(src/multiviewnative.cpp:191-228) become TWO chunked device passes —
+  pass A: quotient[z] = view[z] / (psi_ext (x) k1)        (convolve+divide)
+  pass B: psi[z]      = rl_update(psi[z], quot_ext (x) k2, w[z])
+halving both host<->device traffic and dispatch count versus one pass per
+step.  (Pass A/B cannot fuse further: pass B's convolution needs the
+quotient of NEIGHBORING chunks — the overlap-save halo.)
+
+Engine fidelity: ``algorithm`` ('fft' | 'dft' | 'direct' | 'auto') and
+``elementwise`` ('jnp' | 'pallas') are honored exactly as on the in-core
+rung; 'auto' resolves per extended-chunk extent (halo-extended chunks are
+the MXU DFT's territory when <= 256/axis).
+
+Correctness is exact vs the in-core sequential path (overlap-save with
+full halos; ring wrap at volume ends = the circular boundary contract).
 """
 
 from __future__ import annotations
@@ -27,21 +39,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.convolve import convolve_spectrum
+from ..core.convolve import convolve_spectrum, direct_convolve3d
+from ..core.dft import dft_convolve_spectrum, kernel_spectrum_split
 from ..core.fft import rfft3
 from ..core.kernels import rl_update
 from ..core.shapes import halo_widths
 from ..core.wrap import wrap_kernel
 
+# bounded pipeline depth: how many chunk working sets may be in flight on
+# the device before the host fetches the oldest (the analog of the
+# reference's 2-stream round robin, inc/cufft_utils.cuh:88-187)
+INFLIGHT = 2
+
 
 def _chunk_bounds(Z: int, chunk: int) -> List[Tuple[int, int]]:
     return [(lo, min(lo + chunk, Z)) for lo in range(0, Z, chunk)]
-
-
-@partial(jax.jit, static_argnames=("out_z", "lo"))
-def _convolve_chunk(ext: jnp.ndarray, k_hat: jnp.ndarray, out_z: int, lo: int):
-    out = convolve_spectrum(ext, k_hat)
-    return jax.lax.slice_in_dim(out, lo, lo + out_z, axis=0)
 
 
 def _gather_extended(vol: np.ndarray, z0: int, z1: int, lo: int, hi: int):
@@ -51,33 +63,120 @@ def _gather_extended(vol: np.ndarray, z0: int, z1: int, lo: int, hi: int):
     return vol[idx]
 
 
-def _streamed_convolve(
-    vol: np.ndarray,
+def _resolve_chunk_algorithm(algorithm: str, ext_shape) -> str:
+    if algorithm != "auto":
+        return algorithm
+    return "dft" if max(ext_shape) <= 256 else "fft"
+
+
+@partial(jax.jit, static_argnames=("out_z", "lo"))
+def _quot_chunk_fft(ext, k_hat, view_c, out_z: int, lo: int):
+    """Pass A chunk program, fft engine: view / (ext (x) k1), cropped."""
+    blurred = convolve_spectrum(ext, k_hat)
+    blurred = jax.lax.slice_in_dim(blurred, lo, lo + out_z, axis=0)
+    return view_c * (1.0 / blurred)
+
+
+@partial(jax.jit, static_argnames=("out_z", "lo"))
+def _quot_chunk_dft(ext, k_re, k_im, view_c, out_z: int, lo: int):
+    blurred = dft_convolve_spectrum(ext, k_re, k_im)
+    blurred = jax.lax.slice_in_dim(blurred, lo, lo + out_z, axis=0)
+    return view_c * (1.0 / blurred)
+
+
+@partial(jax.jit, static_argnames=("out_z", "lo"))
+def _quot_chunk_direct(ext, kernel, view_c, out_z: int, lo: int):
+    blurred = direct_convolve3d(ext, kernel, mode="circular")
+    blurred = jax.lax.slice_in_dim(blurred, lo, lo + out_z, axis=0)
+    return view_c * (1.0 / blurred)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _update_chunk_fns(elementwise: str):
+    """Jitted pass-B chunk programs for one elementwise mode (cached so
+    repeated deconvolve_streamed calls reuse the same jit cache)."""
+    from .rl import _select_rl_update
+
+    return _make_update_chunk(_select_rl_update(elementwise))
+
+
+def _make_update_chunk(update_fn):
+    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+    def _upd_fft(ext, k_hat, psi_c, w_c, lam, min_value, out_z, lo):
+        integral = convolve_spectrum(ext, k_hat)
+        integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)
+        return update_fn(psi_c, integral, w_c, lam, min_value)
+
+    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+    def _upd_dft(ext, k_re, k_im, psi_c, w_c, lam, min_value, out_z, lo):
+        integral = dft_convolve_spectrum(ext, k_re, k_im)
+        integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)
+        return update_fn(psi_c, integral, w_c, lam, min_value)
+
+    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+    def _upd_direct(ext, kernel, psi_c, w_c, lam, min_value, out_z, lo):
+        integral = direct_convolve3d(ext, kernel, mode="circular")
+        integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)
+        return update_fn(psi_c, integral, w_c, lam, min_value)
+
+    return {"fft": _upd_fft, "dft": _upd_dft, "direct": _upd_direct}
+
+
+def _kernel_operand(kernel: np.ndarray, ext_shape, algo: str, cache: dict):
+    """Forward (or pass through) the kernel for one chunk extent, cached
+    across the whole run — each kernel is prepared ONCE per (engine,
+    extent), the plan-store analog of the reference's one-time
+    generate_forwarded_kernels (src/gpu_deconvolve_methods.cuh:28-65)."""
+    key = (id(kernel), algo, tuple(ext_shape))
+    op = cache.get(key)
+    if op is None:
+        if algo == "fft":
+            op = (rfft3(wrap_kernel(jnp.asarray(kernel), ext_shape)),)
+        elif algo == "dft":
+            op = kernel_spectrum_split(jnp.asarray(kernel), ext_shape)
+        elif algo == "direct":
+            op = (jnp.asarray(kernel),)
+        else:
+            raise ValueError(f"unknown algorithm {algo!r}")
+        cache[key] = op
+    return op
+
+
+def _streamed_pass(
+    src: np.ndarray,
     kernel: np.ndarray,
     chunk: int,
     out: np.ndarray,
     spectra_cache: dict,
+    algorithm: str,
+    chunk_fns: dict,
+    extra_per_chunk,
 ) -> np.ndarray:
-    """Full-volume circular convolution, chunked through the device.
-
-    ``spectra_cache`` maps (kernel id, ext shape) -> device spectrum; the
-    caller owns it across the whole iteration loop so each kernel is
-    forwarded ONCE per extended-chunk shape (mirrors the in-core driver's
-    one-time spectra prep, src/multiviewnative.cpp:146-174)."""
+    """One chunked device pass over the volume with a bounded in-flight
+    pipeline: dispatch chunk i, fetch chunk i-INFLIGHT — the device works
+    on chunk i's H2D+compute while the host drains older results."""
     (lo, _, _), (hi, _, _) = halo_widths(kernel.shape)
-    Z = vol.shape[0]
-    for z0, z1 in _chunk_bounds(Z, chunk):
+    Z = src.shape[0]
+    bounds = _chunk_bounds(Z, chunk)
+    pending: List[Tuple[int, int, jnp.ndarray]] = []
+    for z0, z1 in bounds:
         bz = z1 - z0
-        ext_z = bz + lo + hi
-        key = (id(kernel), ext_z)
-        k_hat = spectra_cache.get(key)
-        if k_hat is None:
-            k_hat = rfft3(
-                wrap_kernel(jnp.asarray(kernel), (ext_z,) + vol.shape[1:])
-            )
-            spectra_cache[key] = k_hat
-        ext = jnp.asarray(_gather_extended(vol, z0, z1, lo, hi))
-        out[z0:z1] = np.asarray(_convolve_chunk(ext, k_hat, bz, lo))
+        ext_shape = (bz + lo + hi,) + src.shape[1:]
+        algo = _resolve_chunk_algorithm(algorithm, ext_shape)
+        k_ops = _kernel_operand(kernel, ext_shape, algo, spectra_cache)
+        ext = jnp.asarray(_gather_extended(src, z0, z1, lo, hi))
+        res = chunk_fns[algo](
+            ext, *k_ops, *extra_per_chunk(z0, z1), out_z=bz, lo=lo
+        )
+        pending.append((z0, z1, res))
+        if len(pending) > INFLIGHT:
+            p0, p1, r = pending.pop(0)
+            out[p0:p1] = np.asarray(r)
+    for p0, p1, r in pending:
+        out[p0:p1] = np.asarray(r)
     return out
 
 
@@ -91,6 +190,8 @@ def deconvolve_streamed(
     lam: float = 0.0,
     min_value: float = 1e-4,
     chunk_z: int = 64,
+    algorithm: str = "fft",
+    elementwise: str = "jnp",
 ) -> np.ndarray:
     """Host-resident multi-view RL; device sees only Z-chunks.
 
@@ -99,39 +200,39 @@ def deconvolve_streamed(
     (tests/test_gpu_deconvolve_impl.cu compares both strategies to the same
     goldens)."""
     psi = np.array(psi, np.float32, copy=True)
-    scratch = np.empty_like(psi)
-    scratch2 = np.empty_like(psi)
+    quotient = np.empty_like(psi)
 
-    quot = jax.jit(lambda v, b: v * (1.0 / b))
-    upd = jax.jit(
-        lambda p, i, w: rl_update(p, i, w, lam, min_value),
-        static_argnums=(),
-    )
+    upd_fns = _update_chunk_fns(elementwise)
+    quot_fns = {
+        "fft": _quot_chunk_fft,
+        "dft": _quot_chunk_dft,
+        "direct": _quot_chunk_direct,
+    }
 
     # materialize kernels ONCE so the spectra cache keys stay stable across
-    # the whole run (spectra are forwarded once per kernel x chunk shape)
+    # the whole run (spectra are forwarded once per kernel x chunk extent)
     k1s = [np.asarray(k, np.float32) for k in kernels1]
     k2s = [np.asarray(k, np.float32) for k in kernels2]
     spectra_cache: dict = {}
 
     for _ in range(num_iterations):
         for v in range(len(views)):
-            # 1. blurred = psi (x) k1   (into scratch)
-            _streamed_convolve(psi, k1s[v], chunk_z, scratch, spectra_cache)
-            # 2. quotient = view / blurred (chunked elementwise)
-            for z0, z1 in _chunk_bounds(psi.shape[0], chunk_z):
-                scratch[z0:z1] = np.asarray(
-                    quot(jnp.asarray(views[v][z0:z1]), jnp.asarray(scratch[z0:z1]))
-                )
-            # 3. integral = quotient (x) k2 (into scratch2)
-            _streamed_convolve(scratch, k2s[v], chunk_z, scratch2, spectra_cache)
-            # 4. psi update (chunked elementwise)
-            for z0, z1 in _chunk_bounds(psi.shape[0], chunk_z):
-                psi[z0:z1] = np.asarray(
-                    upd(
-                        jnp.asarray(psi[z0:z1]),
-                        jnp.asarray(scratch2[z0:z1]),
-                        jnp.asarray(weights[v][z0:z1]),
-                    )
-                )
+            view_v, w_v = views[v], weights[v]
+            # pass A: quotient = view / (psi (x) k1)
+            _streamed_pass(
+                psi, k1s[v], chunk_z, quotient, spectra_cache, algorithm,
+                quot_fns,
+                lambda z0, z1: (jnp.asarray(view_v[z0:z1]),),
+            )
+            # pass B: psi = rl_update(psi, quotient (x) k2, w)
+            _streamed_pass(
+                quotient, k2s[v], chunk_z, psi, spectra_cache, algorithm,
+                upd_fns,
+                lambda z0, z1: (
+                    jnp.asarray(psi[z0:z1]),
+                    jnp.asarray(w_v[z0:z1]),
+                    lam,
+                    min_value,
+                ),
+            )
     return psi

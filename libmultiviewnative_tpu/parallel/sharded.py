@@ -63,7 +63,7 @@ def make_mesh(
 
 def _local_view_sweep(
     psi, views, kernel1, kernel2, weights, lam, min_value, lo1, hi1, lo2, hi2,
-    algorithm="fft",
+    algorithm="fft", update_fn=rl_update,
 ):
     """One simultaneous RL sweep over this shard's views on z-blocks.
 
@@ -85,7 +85,7 @@ def _local_view_sweep(
             integral = convolve_zblock(psi, k1h, lo1, hi1, "z")
             integral = view * (1.0 / integral)
             integral = convolve_zblock(integral, k2h, lo2, hi2, "z")
-        return rl_update(psi, integral, w, lam, min_value)
+        return update_fn(psi, integral, w, lam, min_value)
 
     new = jax.vmap(one_view)(views, kernel1, kernel2, weights)
     delta = jnp.sum(new - psi[None], axis=0)
@@ -102,6 +102,7 @@ def deconvolve_sharded(
     lam: float = 0.0,
     min_value: float = 1e-4,
     algorithm: str = "fft",
+    elementwise: str = "jnp",
 ) -> jnp.ndarray:
     """Sharded RL deconvolution: views over mesh axis 'view', volume Z-blocks
     over mesh axis 'z'.  Returns psi with the same sharding it came in with.
@@ -124,6 +125,9 @@ def deconvolve_sharded(
             f"Z block {bz} smaller than PSF halo "
             f"{max(lo1, hi1, lo2, hi2)}; use fewer z shards"
         )
+    from ..deconv.rl import _select_rl_update
+
+    update_fn = _select_rl_update(elementwise)
 
     def step(psi_local, views, k1, k2, w):
         local_spatial = psi_local.shape
@@ -153,7 +157,7 @@ def deconvolve_sharded(
         def sweep(p, _):
             p = _local_view_sweep(
                 p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2, hi2,
-                algo,
+                algo, update_fn,
             )
             return p, None
 
@@ -204,7 +208,9 @@ def shard_workspace(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iterations", "mesh", "lam", "min_value", "algorithm"),
+    static_argnames=(
+        "num_iterations", "mesh", "lam", "min_value", "algorithm", "elementwise",
+    ),
     donate_argnums=(0,),
 )
 def deconvolve_sharded_jit(
@@ -215,7 +221,8 @@ def deconvolve_sharded_jit(
     lam: float = 0.0,
     min_value: float = 1e-4,
     algorithm: str = "fft",
+    elementwise: str = "jnp",
 ):
     return deconvolve_sharded(
-        psi, data, num_iterations, mesh, lam, min_value, algorithm
+        psi, data, num_iterations, mesh, lam, min_value, algorithm, elementwise
     )

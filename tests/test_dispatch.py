@@ -52,16 +52,71 @@ def test_auto_incore_matches_reference_path(rng):
 
 
 def test_auto_streamed_rung_matches(rng, monkeypatch):
-    # force the streamed rung by shrinking the believed capacity
+    # force the streamed rung by shrinking the believed capacity;
+    # engine pinned so the comparison is engine-matched (algorithm='auto'
+    # resolves per-chunk on the streamed rung)
     import libmultiviewnative_tpu.deconv.dispatch as dd
 
     monkeypatch.setattr(dd, "device_capacity_bytes", lambda device=None: 1)
     monkeypatch.setattr(jax, "device_count", lambda: 1)
     data = _data(rng)
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
-    got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, lam=0.006, chunk_z=8))
-    want = np.asarray(deconvolve_jit(psi0.copy(), data, 2, lam=0.006))
+    got = np.asarray(
+        deconvolve_auto(
+            psi0.copy(), data, 2, lam=0.006, chunk_z=8, algorithm="fft"
+        )
+    )
+    want = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 2, lam=0.006, algorithm="fft")
+    )
     assert rms(got, want) < 1e-5
+
+
+def test_streamed_rung_honors_algorithm_and_elementwise(rng, monkeypatch):
+    """Option fidelity: algorithm='dft' must actually reach the streamed
+    rung's chunk programs (observed via the kernel-operand preparation),
+    the result must still match the in-core engine to overlap-save
+    roundoff, and elementwise='pallas' must run (interpreter on CPU)."""
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+    import libmultiviewnative_tpu.deconv.streamed as ds
+
+    monkeypatch.setattr(dd, "device_capacity_bytes", lambda device=None: 1)
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    used_algos = set()
+    real_operand = ds._kernel_operand
+
+    def spy(kernel, ext_shape, algo, cache):
+        used_algos.add(algo)
+        return real_operand(kernel, ext_shape, algo, cache)
+
+    monkeypatch.setattr(ds, "_kernel_operand", spy)
+    data = _data(rng)
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    got = np.asarray(
+        deconvolve_auto(
+            psi0.copy(), data, 2, lam=0.006, chunk_z=8, algorithm="dft"
+        )
+    )
+    assert used_algos == {"dft"}
+    want_dft = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 2, lam=0.006, algorithm="dft")
+    )
+    # overlap-save transforms run at extended-chunk extents, so agreement
+    # is to f32 roundoff, not bitwise
+    assert rms(got, want_dft) < 5e-5
+
+    used_algos.clear()
+    got_p = np.asarray(
+        deconvolve_auto(
+            psi0.copy(), data, 2, lam=0.006, chunk_z=8,
+            algorithm="fft", elementwise="pallas",
+        )
+    )
+    assert used_algos == {"fft"}
+    want_fft = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 2, lam=0.006, algorithm="fft")
+    )
+    assert rms(got_p, want_fft) < 1e-5
 
 
 def test_auto_sharded_rung_matches(rng, monkeypatch):
@@ -74,7 +129,10 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
         dd, "device_capacity_bytes", lambda device=None: int(est / 4)
     )
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
-    got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, lam=0.006))
+    # a sequential request served by the (simultaneous) sharded rung must
+    # warn LOUDLY — not just under LMVN_TRACE
+    with pytest.warns(dd.DispatchDivergenceWarning):
+        got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, lam=0.006))
     # sharded runs the simultaneous view order — compare to that
     want = np.asarray(
         deconvolve_jit(
@@ -82,6 +140,58 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
         )
     )
     assert rms(got, want) < 1e-4
+
+
+def test_sharded_rung_honors_algorithm(rng, monkeypatch):
+    """algorithm='dft' forwarded to the sharded rung (regression: it was
+    silently dropped to 'fft' pre round 2)."""
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    data = _data(rng)
+    est = estimate_workspace_bytes(data)
+    monkeypatch.setattr(
+        dd, "device_capacity_bytes", lambda device=None: int(est / 4)
+    )
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    with pytest.warns(dd.DispatchDivergenceWarning):
+        got = np.asarray(
+            deconvolve_auto(psi0.copy(), data, 2, lam=0.006, algorithm="dft")
+        )
+    from libmultiviewnative_tpu.parallel.sharded import (
+        deconvolve_sharded_jit,
+        make_mesh,
+        shard_workspace,
+    )
+
+    mesh = dd._pick_mesh(data.num_views, 16, jax.device_count())
+    psi_s, data_s = shard_workspace(data, psi0.copy(), mesh)
+    want = np.asarray(
+        deconvolve_sharded_jit(
+            psi_s, data_s, num_iterations=2, mesh=mesh, lam=0.006,
+            algorithm="dft",
+        )
+    )
+    assert rms(got, want) < 1e-6
+
+
+def test_strict_mode_raises_on_divergence(rng, monkeypatch):
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    data = _data(rng)
+    est = estimate_workspace_bytes(data)
+    monkeypatch.setattr(
+        dd, "device_capacity_bytes", lambda device=None: int(est / 4)
+    )
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    with pytest.raises(ValueError, match="SIMULTANEOUS"):
+        deconvolve_auto(psi0.copy(), data, 2, strict=True)
+    # simultaneous request on the streamed rung also diverges
+    monkeypatch.setattr(dd, "device_capacity_bytes", lambda device=None: 1)
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
+    with pytest.raises(ValueError, match="SEQUENTIAL"):
+        deconvolve_auto(
+            psi0.copy(), data, 2, view_order="simultaneous", strict=True
+        )
 
 
 def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
@@ -99,13 +209,16 @@ def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
     )
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     want = np.asarray(
-        deconvolve_jit(psi0.copy(), poisoned, 2, adjoint_kernel2=True)
+        deconvolve_jit(
+            psi0.copy(), poisoned, 2, adjoint_kernel2=True, algorithm="fft"
+        )
     )
     monkeypatch.setattr(dd, "device_capacity_bytes", lambda device=None: 1)
     monkeypatch.setattr(jax, "device_count", lambda: 1)
     got = np.asarray(
         deconvolve_auto(
-            psi0.copy(), poisoned, 2, adjoint_kernel2=True, chunk_z=8
+            psi0.copy(), poisoned, 2, adjoint_kernel2=True, chunk_z=8,
+            algorithm="fft",
         )
     )
     assert rms(got, want) < 1e-5
@@ -122,8 +235,10 @@ def test_auto_mesh_factorization_falls_back_to_stream(rng, monkeypatch):
     monkeypatch.setattr(
         dd, "device_capacity_bytes", lambda device=None: int(est / 2)
     )
-    got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, chunk_z=5))
-    want = np.asarray(deconvolve_jit(psi0.copy(), data, 2))
+    got = np.asarray(
+        deconvolve_auto(psi0.copy(), data, 2, chunk_z=5, algorithm="fft")
+    )
+    want = np.asarray(deconvolve_jit(psi0.copy(), data, 2, algorithm="fft"))
     assert rms(got, want) < 1e-5
 
 
