@@ -56,12 +56,24 @@ def set_matmul_precision(name: str) -> None:
     f32-faithful) or 'high' (bf16_3x — measured ~3e-5 relative transform
     error, still two orders under the RL acceptance tolerances).
 
-    CAVEAT: the precision is captured at TRACE time and is not part of
-    jit's cache key — programs already compiled for a shape keep the
-    precision they were traced with.  Set it before the first call for a
-    given shape (or at process start via LMVN_MATMUL_PRECISION)."""
+    The precision is part of PROGRAM IDENTITY: besides setting the einsum
+    precision used at trace time, this updates jax's
+    ``jax_default_matmul_precision`` config, which participates in jit's
+    tracing cache key — so switching precision retraces/recompiles every
+    affected program instead of silently reusing code compiled at the
+    previous precision.  (DFT einsums still pass their precision
+    explicitly; the config flip exists to invalidate the cache, and only
+    changes the default for ops that don't set precision themselves.)"""
     global _PREC
-    _PREC = _PRECISIONS[name]
+    _PREC = _PRECISIONS[name]  # KeyError on unknown name, before config flip
+    jax.config.update("jax_default_matmul_precision", name)
+
+
+# make the process-start env default part of program identity too
+if _os.environ.get("LMVN_MATMUL_PRECISION") in _PRECISIONS:
+    jax.config.update(
+        "jax_default_matmul_precision", _os.environ["LMVN_MATMUL_PRECISION"]
+    )
 
 
 def _EINSUM(*args, **kw):
