@@ -122,6 +122,11 @@ def deconvolve_auto(
     cap = int(headroom * device_capacity_bytes())
     n_dev = jax.device_count()
 
+    if view_order == "simultaneous":
+        from .workspace import check_simultaneous_weights
+
+        check_simultaneous_weights(data.weights)
+
     def diverge(msg: str):
         if strict:
             raise ValueError(msg + " (strict=True)")

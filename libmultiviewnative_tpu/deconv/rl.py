@@ -248,6 +248,11 @@ def deconvolve(
             return p, None
 
     elif view_order == "simultaneous":
+        # eager callers get the unnormalized-weights audit here; jitted
+        # callers (tracer weights) are covered at the dispatch/model layer
+        from .workspace import check_simultaneous_weights
+
+        check_simultaneous_weights(data.weights)
 
         def sweep(p, _):
             new = jax.vmap(

@@ -17,6 +17,7 @@ giving XLA the static shapes it needs.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,40 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.shapes import Shape, as_shape, kernel_center
+
+
+class WeightNormalizationWarning(UserWarning):
+    """Simultaneous-mode weights don't sum to ~1 across views."""
+
+
+def check_simultaneous_weights(weights, atol: float = 1e-3) -> None:
+    """Warn when view weights do not sum to ~1 over the view axis.
+
+    The simultaneous view order blends per-view updates additively
+    (psi' = psi + sum_v w_v (new_v - psi)); weights summing to 1 make that
+    the natural batched counterpart of the reference's sequential
+    w*(new-old)+old step.  Unnormalized weights — legal in the reference's
+    per-view sequential update — amplify every sweep by sum(w) and can
+    diverge in simultaneous/sharded mode.
+
+    Accepts (V,) scalar weights or (V, Z, Y, X) stacks.  Inside a jit
+    trace the values are unknowable — the check is skipped (call this on
+    concrete arrays at the dispatch/model layer)."""
+    try:
+        w = np.asarray(weights)
+    except Exception:
+        return  # tracer — values not available at trace time
+    total = w.sum(axis=0) if w.ndim > 1 else w.sum()
+    err = float(np.max(np.abs(np.asarray(total) - 1.0)))
+    if err > atol:
+        warnings.warn(
+            "simultaneous view order expects weights summing to ~1 across "
+            f"views (max |sum-1| = {err:.3g}); each sweep is effectively "
+            "scaled by sum(w) and may diverge — normalize the weights or "
+            "use view_order='sequential'",
+            WeightNormalizationWarning,
+            stacklevel=3,
+        )
 
 
 @dataclasses.dataclass
@@ -98,18 +133,53 @@ class MultiViewData:
         return tuple(self.views.shape[-3:])
 
     @classmethod
-    def from_views(cls, views: Sequence[View], dtype=jnp.float32) -> "MultiViewData":
+    def from_views(
+        cls,
+        views: Sequence[View],
+        dtype=jnp.float32,
+        shape_policy: str = "strict",
+    ) -> "MultiViewData":
+        """Stack per-view data; kernels are center-padded to the max shape.
+
+        ``shape_policy`` governs heterogeneous per-view IMAGE shapes — the
+        case the reference left as a FIXME ("psi shape should be min over
+        views", /root/reference/src/multiviewnative.cpp:154,180):
+
+          * ``"strict"`` (default): hard error — the reference's implicit
+            assumption made explicit.
+          * ``"common"``: deconvolve the common region.  Every view's
+            image and weights are cropped to the elementwise MIN shape
+            over views, anchored at the index origin (views share an
+            origin-aligned index space in the plugin's workspace
+            convention), which is exactly the "min over views" psi shape
+            the reference FIXME asks for.  Pure preprocessing: the math on
+            the cropped workspace is identical to same-shape inputs.
+        """
         if not views:
             raise ValueError("need at least one view")
-        img_shape = views[0].image.shape
-        for v in views:
-            if v.image.shape != img_shape:
-                # The reference silently assumes this too (FIXME at
-                # src/multiviewnative.cpp:180); we make it a hard error.
+        shapes = [tuple(v.image.shape) for v in views]
+        if len(set(shapes)) > 1:
+            if shape_policy == "strict":
                 raise ValueError(
-                    f"all views must share the image shape; got {v.image.shape} "
-                    f"vs {img_shape}"
+                    "all views must share the image shape; got "
+                    f"{sorted(set(shapes))}.  Pass shape_policy='common' to "
+                    "deconvolve the common (min-shape) region instead."
                 )
+            if shape_policy != "common":
+                raise ValueError(f"unknown shape_policy {shape_policy!r}")
+            common = tuple(
+                min(s[d] for s in shapes) for d in range(len(shapes[0]))
+            )
+            sl = tuple(slice(0, c) for c in common)
+            views = [
+                View(
+                    image=np.asarray(v.image)[sl],
+                    kernel1=v.kernel1,
+                    kernel2=v.kernel2,
+                    weights=np.asarray(v.weights)[sl],
+                )
+                for v in views
+            ]
         k1_shape = _max_shape([as_shape(v.kernel1.shape) for v in views])
         k2_shape = _max_shape([as_shape(v.kernel2.shape) for v in views])
         return cls(

@@ -110,6 +110,9 @@ def deconvolve_sharded(
     Requirements (checked): V divisible by the 'view' axis size, Z by the
     'z' axis size, and each Z block at least as large as the PSF halo.
     """
+    from ..deconv.workspace import check_simultaneous_weights
+
+    check_simultaneous_weights(data.weights)  # sharded == simultaneous math
     vsize, zsize = mesh.shape["view"], mesh.shape["z"]
     V = data.num_views
     Z = psi.shape[-3]
