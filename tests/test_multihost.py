@@ -50,12 +50,122 @@ print(f"proc {pid} OK", flush=True)
 """
 
 
+_DECONV_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+coordinator, n, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+from libmultiviewnative_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost(coordinator_address=coordinator, num_processes=n,
+                     process_id=pid)
+assert jax.device_count() == 4 * n
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from libmultiviewnative_tpu.deconv.rl import deconvolve
+from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+from libmultiviewnative_tpu.parallel.sharded import (
+    deconvolve_sharded_jit,
+    make_mesh,
+)
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+# identical data generated on every host (same seed)
+rng = np.random.default_rng(0)
+V, shape = 4, (8, 8, 8)
+views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+k1 = np.stack([gaussian_kernel((3, 3, 3), 1.0 + 0.2 * v) for v in range(V)])
+k2 = np.flip(k1, axis=(1, 2, 3)).copy()
+w = np.full((V,) + shape, 1.0 / V, np.float32)
+psi0 = np.full(shape, float(views.mean()), np.float32)
+
+# 4 view-shards x 2 z-blocks over the 8 global devices (2 processes)
+mesh = make_mesh(view_parallel=4, z_parallel=2)
+
+
+def mk(arr, spec):
+    s = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, s, lambda idx: arr[idx]
+    )
+
+
+data = MultiViewData(
+    views=mk(views, P("view", "z", None, None)),
+    kernel1=mk(k1, P("view", None, None, None)),
+    kernel2=mk(k2, P("view", None, None, None)),
+    weights=mk(w, P("view", "z", None, None)),
+)
+psi = mk(psi0, P("z", None, None))
+out = deconvolve_sharded_jit(
+    psi, data, num_iterations=2, mesh=mesh, lam=0.006
+)
+
+# single-process truth: the simultaneous update on one local device
+want = np.asarray(
+    deconvolve(
+        jnp.asarray(psi0),
+        MultiViewData(
+            views=jnp.asarray(views), kernel1=jnp.asarray(k1),
+            kernel2=jnp.asarray(k2), weights=jnp.asarray(w),
+        ),
+        2, lam=0.006, view_order="simultaneous",
+    )
+)
+for sh in out.addressable_shards:
+    got = np.asarray(sh.data)
+    np.testing.assert_allclose(got, want[sh.index], rtol=2e-5, atol=2e-4)
+print(f"proc {pid} DECONV OK", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+@pytest.mark.timeout(240)
+def test_two_process_sharded_deconvolve(tmp_path):
+    """The distributed claim, backed by the actual RL program: a 2-process
+    x 4-device ('view','z') mesh runs deconvolve_sharded end to end and
+    every process's output shards match the single-device simultaneous
+    result (SURVEY.md §4's missing multi-host tier)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", "-c", _DECONV_WORKER, coordinator, "2",
+             str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=210)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed CPU cluster timed out in this environment")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("proc 0 DECONV OK" in o for o in outs)
+    assert any("proc 1 DECONV OK" in o for o in outs)
 
 
 @pytest.mark.timeout(180)
