@@ -124,19 +124,42 @@ def rl_view_step_fused(
     min_value: float,
     update_fn=_rl_update_jnp,
 ) -> jnp.ndarray:
-    """Update via the fused 3-pass Pallas DFT-convolve
-    (ops.pallas.fused_dft) — minimal HBM traffic per convolve."""
-    from ..ops.pallas.fused_dft import fused_convolve_spectrum
+    """Update via the fused 3-pass Mosaic DFT-convolve
+    (ops.pallas.fused_dft2) — minimal HBM traffic per convolve.
+
+    OPERATES IN THE TRANSPOSED (Z, X, Y) DOMAIN: psi/view/weights must
+    already be transposed (the deconvolve driver transposes once outside
+    the iteration scan; the RL elementwise steps are layout-agnostic) and
+    the kernel spectra must be in the (Kx, Q, M) fused layout."""
+    from ..core import dft as _dft
+    from ..ops.pallas.fused_dft2 import fused_convolve_transposed
 
     interp = jax.default_backend() == "cpu"
-    integral = fused_convolve_spectrum(
-        psi, k1_split[0], k1_split[1], interpret=interp
+    prec = _dft._PREC
+    integral = fused_convolve_transposed(
+        psi, k1_split[0], k1_split[1], interpret=interp, precision=prec
     )
     integral = view * (1.0 / integral)
-    integral = fused_convolve_spectrum(
-        integral, k2_split[0], k2_split[1], interpret=interp
+    integral = fused_convolve_transposed(
+        integral, k2_split[0], k2_split[1], interpret=interp, precision=prec
     )
     return update_fn(psi, integral, weights, lam, min_value)
+
+
+def prepare_spectra_fused(
+    kernels: jnp.ndarray, spatial_shape: Tuple[int, ...]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched wrapped-kernel spectra in the fused (V, Kx, Q, M) layout."""
+    from ..ops.pallas.fused_dft2 import kernel_spectrum_fused
+
+    outs = [
+        kernel_spectrum_fused(kernels[v], spatial_shape)
+        for v in range(kernels.shape[0])
+    ]
+    return (
+        jnp.stack([o[0] for o in outs]),
+        jnp.stack([o[1] for o in outs]),
+    )
 
 
 def prepare_spectra_split(
@@ -216,14 +239,24 @@ def deconvolve(
             data.kernel2, spatial
         )
         step = rl_view_step
-    elif algorithm in ("dft", "fused"):
+    elif algorithm == "dft":
         k1 = prepare_spectra_split(data.kernel1, spatial)
         k2 = (
             (k1[0], -k1[1])
             if adjoint_kernel2
             else prepare_spectra_split(data.kernel2, spatial)
         )
-        step = rl_view_step_dft if algorithm == "dft" else rl_view_step_fused
+        step = rl_view_step_dft
+    elif algorithm == "fused":
+        if psi.ndim != 3:
+            raise ValueError("algorithm='fused' operates on single volumes")
+        k1 = prepare_spectra_fused(data.kernel1, spatial)
+        k2 = (
+            (k1[0], -k1[1])
+            if adjoint_kernel2
+            else prepare_spectra_fused(data.kernel2, spatial)
+        )
+        step = rl_view_step_fused
     elif algorithm == "direct":
         k1 = data.kernel1
         k2 = (
@@ -237,6 +270,16 @@ def deconvolve(
 
     update_fn = _select_rl_update(elementwise)
 
+    views, weights = data.views, data.weights
+    if algorithm == "fused":
+        # the whole loop lives in the fused kernel's (Z, X, Y) transposed
+        # domain — elementwise steps are layout-agnostic, so the only
+        # transposes are these one-time ones OUTSIDE the iteration scans
+        views = jnp.transpose(views, (0, 1, 3, 2))
+        if weights.ndim > 1:
+            weights = jnp.transpose(weights, (0, 1, 3, 2))
+        psi = jnp.transpose(psi, (0, 2, 1))
+
     if view_order == "sequential":
 
         def view_body(p, xs):
@@ -244,7 +287,7 @@ def deconvolve(
             return step(p, view, k1v, k2v, w, lam, min_value, update_fn), None
 
         def sweep(p, _):
-            p, _ = lax.scan(view_body, p, (data.views, k1, k2, data.weights))
+            p, _ = lax.scan(view_body, p, (views, k1, k2, weights))
             return p, None
 
     elif view_order == "simultaneous":
@@ -257,7 +300,7 @@ def deconvolve(
         def sweep(p, _):
             new = jax.vmap(
                 lambda v, a, b, w: step(p, v, a, b, w, lam, min_value, update_fn)
-            )(data.views, k1, k2, data.weights)
+            )(views, k1, k2, weights)
             # additive blend of per-view weighted updates; for weights that
             # sum to 1 across views this is the natural batched counterpart
             # of the sequential w*(new-old)+old.  Documented divergence from
@@ -268,16 +311,23 @@ def deconvolve(
     else:
         raise ValueError(f"unknown view_order {view_order!r}")
 
+    untranspose = (
+        (lambda p: jnp.transpose(p, (0, 2, 1)))
+        if algorithm == "fused"
+        else (lambda p: p)
+    )
+
     if track_convergence:
 
         def sweep_tracked(p, _):
             nxt, _unused = sweep(p, None)
             return nxt, jnp.sqrt(jnp.mean((nxt - p) ** 2))
 
-        return lax.scan(sweep_tracked, psi, None, length=num_iterations)
+        psi, deltas = lax.scan(sweep_tracked, psi, None, length=num_iterations)
+        return untranspose(psi), deltas
 
     psi, _ = lax.scan(sweep, psi, None, length=num_iterations)
-    return psi
+    return untranspose(psi)
 
 
 @partial(

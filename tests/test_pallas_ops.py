@@ -5,6 +5,7 @@ The structure mirrors the reference's device-kernels-vs-CPU-kernels tests
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from libmultiviewnative_tpu.core.kernels import (
     compute_quotient,
@@ -68,3 +69,64 @@ def test_spectral_multiply_matches_complex(rng):
     b = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
     got = np.asarray(spectral_multiply_pallas(a, b, interpret=True))
     np.testing.assert_allclose(got, a * b, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-pass DFT-convolve v2 (ops.pallas.fused_dft2) — interpret mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16, 16), (24, 16, 32), (32, 40, 16)], ids=str
+)
+def test_fused2_matches_einsum_engine(shape, rng):
+    from libmultiviewnative_tpu.core.dft import (
+        dft_convolve_spectrum,
+        kernel_spectrum_split,
+    )
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    x = rng.normal(size=shape).astype(np.float32)
+    k = gaussian_kernel((5, 5, 5), 1.2)
+    kre2, kim2 = kernel_spectrum_fused(jnp.asarray(k), shape)
+    got = np.asarray(
+        fused_convolve_spectrum(jnp.asarray(x), kre2, kim2, interpret=True)
+    )
+    kre, kim = kernel_spectrum_split(jnp.asarray(k), shape)
+    want = np.asarray(dft_convolve_spectrum(jnp.asarray(x), kre, kim))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fused2_rejects_bad_shapes(rng):
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_transposed,
+    )
+
+    x = jnp.zeros((9, 16, 16), jnp.float32)  # Z not a multiple of 8
+    with pytest.raises(ValueError, match="multiples of 8"):
+        fused_convolve_transposed(x, x, x, interpret=True)
+
+
+def test_fused2_spectrum_layout_roundtrip(rng):
+    """kernel_spectrum_fused is the (Kx, Q, M) permutation of the compact
+    dft3 spectrum."""
+    from libmultiviewnative_tpu.core.dft import kernel_spectrum_split
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    shape = (16, 24, 32)
+    k = gaussian_kernel((5, 5, 5), 1.0)
+    re, im = kernel_spectrum_split(jnp.asarray(k), shape)
+    re2, im2 = kernel_spectrum_fused(jnp.asarray(k), shape)
+    np.testing.assert_allclose(
+        np.asarray(re2), np.transpose(np.asarray(re), (2, 0, 1)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(im2), np.transpose(np.asarray(im), (2, 0, 1)), rtol=1e-6
+    )
