@@ -135,7 +135,11 @@ def rl_view_step_fused(
     from ..ops.pallas.fused_dft2 import fused_convolve_transposed
 
     interp = jax.default_backend() == "cpu"
-    prec = _dft._PREC
+    # map the library precision to the kernel's modes (Mosaic can't lower
+    # Precision.HIGH; the kernel implements bf16_3x manually)
+    prec = (
+        "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+    )
     integral = fused_convolve_transposed(
         psi, k1_split[0], k1_split[1], interpret=interp, precision=prec
     )

@@ -113,7 +113,7 @@ def test_fused2_rejects_bad_shapes(rng):
 
 def test_fused2_spectrum_layout_roundtrip(rng):
     """kernel_spectrum_fused is the (Kx, Q, M) permutation of the compact
-    dft3 spectrum."""
+    dft3 spectrum (layout (Q, M, Kx))."""
     from libmultiviewnative_tpu.core.dft import kernel_spectrum_split
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
         kernel_spectrum_fused,

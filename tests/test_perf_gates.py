@@ -1,0 +1,91 @@
+"""Executable performance gates (the analog of the reference's in-test
+perf assertion, tests/test_cpu_deconvolve.cpp:139-140: parallel < serial).
+
+Opt-in: real-hardware timing is meaningless on the CPU test mesh and too
+slow for the default suite, so these run only with LMVN_PERF_GATES=1 on
+an accelerator backend:
+
+    LMVN_PERF_GATES=1 python -m pytest tests/test_perf_gates.py -q
+
+Gates encode the measured engine ordering (docs/PERFORMANCE.md) so a
+regression — e.g. the dft engine falling behind the fft engine at <=256,
+or the fused kernel falling behind the einsum engine — fails a test
+instead of silently shipping.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+requires_gates = pytest.mark.skipif(
+    os.environ.get("LMVN_PERF_GATES") != "1",
+    reason="perf gates are opt-in (LMVN_PERF_GATES=1, real accelerator)",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    # these gates need the real accelerator, not the CPU test mesh that
+    # conftest configures; re-check the actual backend
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        pytest.skip("perf gates need a TPU backend")
+    return dev
+
+
+def _time_rl(algorithm: str, reps: int = 2, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+    from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    V, shape = 2, (128, 128, 128)
+    rng = np.random.default_rng(0)
+    k1 = np.stack([gaussian_kernel((9, 9, 9), 1.0 + 0.2 * v) for v in range(V)])
+    data = MultiViewData(
+        views=jnp.asarray(rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(np.flip(k1, axis=(1, 2, 3)).copy()),
+        weights=jnp.full((V,) + shape, 1.0 / V, jnp.float32),
+    )
+    psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
+
+    def run():
+        return deconvolve_jit(
+            psi0 + 0.0, data, num_iterations=iters, algorithm=algorithm
+        )
+
+    float(jnp.sum(run()))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run()
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+@requires_gates
+def test_dft_engine_not_slower_than_fft_at_128(tpu):
+    """The auto crossover promises dft wins <= 256/axis; catch it
+    regressing below the fft engine (15% tolerance for tunnel noise)."""
+    t_dft = _time_rl("dft")
+    t_fft = _time_rl("fft")
+    assert t_dft < 1.15 * t_fft, (t_dft, t_fft)
+
+
+@requires_gates
+def test_fused_kernel_not_slower_than_einsum_at_128(tpu):
+    """The fused Mosaic kernel must keep beating the einsum engine it
+    replaced (docs/PERFORMANCE.md round-2 measurements)."""
+    t_fused = _time_rl("fused")
+    t_dft = _time_rl("dft")
+    assert t_fused < 1.15 * t_dft, (t_fused, t_dft)
