@@ -231,15 +231,13 @@ def _pass_c_kernel(
 
 
 def _slab(n_z: int, x: int, y: int) -> int:
-    """z-slab size: full input slab must stay well under VMEM with
-    double-buffering; 8 aligns the (Kx, Z, M) sublane tiles."""
-    bytes_per_plane = 4 * x * y
-    b = 8
-    while b > 1 and b * bytes_per_plane > 4 * 1024 * 1024:
-        b //= 2
-    while n_z % b:
-        b //= 2
-    return max(b, 1)
+    """z-slab size.  Mosaic requires block dims that are not the full
+    array extent to be multiples of 8 (sublane) — the (Kx, B, M) output
+    block's middle dim is B, so B = 8 (Z % 8 enforced by the caller; an
+    8-plane 512x512 f32 slab is 8 MB, comfortably inside the raised
+    vmem_limit with double-buffering)."""
+    del x, y
+    return 8 if n_z % 8 == 0 else n_z
 
 
 def kernel_spectrum_fused(kernel: jnp.ndarray, shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
