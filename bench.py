@@ -1,18 +1,21 @@
 #!/usr/bin/env python
 """Headline benchmark: multi-view RL deconvolution throughput on real hardware.
 
-Prints ONE JSON line:
+Prints one JSON line per tracked config (headline FIRST):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload: 4 views at 256^3 with 21^3/25^3 Gaussian kernels, 10 RL
-iterations (the reference synthetic bench's kernel/iteration defaults,
-/root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71, at the
-headline volume; 64^3 on non-TPU hosts).
+Workloads (kernel/iteration defaults from the reference synthetic bench,
+/root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71):
+  1. headline — 4 views at 256^3, 21^3/25^3 Gaussian kernels, 10 RL
+     iterations (64^3 on non-TPU hosts).
+  2. north star (TPU only) — 4 views at 512^3 (BASELINE.md target
+     config), adjoint kernel2 + scalar weights (the HBM options that fit
+     it single-chip), fused Mosaic DFT-convolve engine.
 
 vs_baseline: ratio against the measured CPU stand-in recorded in
-BENCH_baseline.json — only when that record's metric names the SAME
-workload; otherwise 1.0.  (The reference library publishes no absolute
-numbers, BASELINE.md.)
+BENCH_baseline.json — only when a record names the SAME workload;
+otherwise 1.0.  (The reference library publishes no absolute numbers,
+BASELINE.md.)
 """
 
 import json
@@ -23,8 +26,54 @@ import time
 import numpy as np
 
 
+def _baseline_lookup(metric):
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
+    if not os.path.exists(base_path):
+        return None
+    try:
+        base = json.load(open(base_path))
+    except Exception:
+        return None
+    rec = base.get("records", {}).get(metric)
+    if rec and rec.get("value"):
+        return float(rec["value"])
+    if base.get("value") and base.get("metric") == metric:
+        return float(base["value"])
+    return None
+
+
+def _emit(metric, iters_per_sec):
+    base = _baseline_lookup(metric)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(iters_per_sec, 4),
+                "unit": "iterations/s",
+                "vs_baseline": round(iters_per_sec / base, 4) if base else 1.0,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _time_config(run, jnp, iters, reps, passes=2):
+    """Best-of-N timing with amortized dispatch and a forced host fetch
+    (block_until_ready alone is not trustworthy on tunneled platforms)."""
+    float(jnp.sum(run()))  # warmup/compile
+    dt = float("inf")
+    for _pass in range(passes):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run()
+        float(jnp.sum(out))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
+    return iters / dt
+
+
 def main():
-    # bf16_3x MXU passes for the DFT engine: measured ~3e-5 relative
+    # bf16_3x MXU passes for the DFT engines: measured ~3e-5 relative
     # transform error on v5e — two orders under every acceptance tolerance
     # (golden regression suite passes) — for ~1.4x throughput.  The library
     # default stays f32-faithful ('highest'); the benchmark opts in.
@@ -46,25 +95,33 @@ def main():
     import jax.numpy as jnp
 
     from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
-    from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+    from libmultiviewnative_tpu.deconv.workspace import (
+        MultiViewData,
+        pad_kernel_to,
+    )
     from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
     dev = jax.devices()[0]
     on_tpu = dev.platform in ("tpu", "axon")
 
     V = 4
-    shape = (256, 256, 256) if on_tpu else (64, 64, 64)
     iters = 10
-    k1s, k2s = (21, 21, 21), (25, 25, 25)
-
     rng = np.random.default_rng(0)
-    k1 = np.stack([gaussian_kernel(k1s, 2.0 + 0.5 * v) for v in range(V)])
-    k2 = np.stack([np.flip(gaussian_kernel(k1s, 2.0 + 0.5 * v)).copy() for v in range(V)])
-    k2 = np.stack([np.asarray(np_pad_to(k, k2s)) for k in k2])
+    k1 = np.stack([gaussian_kernel((21,) * 3, 2.0 + 0.5 * v) for v in range(V)])
+    k2 = np.stack(
+        [
+            pad_kernel_to(
+                np.flip(gaussian_kernel((21,) * 3, 2.0 + 0.5 * v)).copy(),
+                (25,) * 3,
+            )
+            for v in range(V)
+        ]
+    )
+
+    # ---- config 1: headline (4-view 256^3, full kernel2 + full weights)
+    shape = (256, 256, 256) if on_tpu else (64, 64, 64)
     data = MultiViewData(
-        views=jnp.asarray(
-            rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
-        ),
+        views=jnp.asarray(rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)),
         kernel1=jnp.asarray(k1),
         kernel2=jnp.asarray(k2),
         weights=jnp.full((V,) + shape, 1.0 / V, jnp.float32),
@@ -81,54 +138,38 @@ def main():
             algorithm="auto",
         )
 
-    # warmup/compile with a full fetch (block_until_ready alone is not
-    # trustworthy on tunneled device platforms)
-    float(jnp.sum(run()))
-    # dispatch all timed repeats asynchronously, fetch once: a single PJRT
-    # device executes launches in dispatch order, so one RPC round trip
-    # covers all repeats instead of paying ~40ms per call.  Best of two
-    # passes resists transient tunnel/host contention (observed ~1.4x
-    # outliers on this image).
-    reps = 4
-    dt = float("inf")
-    for _pass in range(2):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = run()
-        float(jnp.sum(out))
-        dt = min(dt, (time.perf_counter() - t0) / reps)
+    value = _time_config(run, jnp, iters, reps=4)
+    _emit(f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed", value)
+    del data, psi0
 
-    iters_per_sec = iters / dt
-    metric = f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed"
+    if not on_tpu:
+        return
 
-    vs_baseline = 1.0
-    base_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
-    if os.path.exists(base_path):
-        try:
-            base = json.load(open(base_path))
-            # only comparable when the baseline measured the SAME workload
-            if base.get("value") and base.get("metric") == metric:
-                vs_baseline = iters_per_sec / float(base["value"])
-        except Exception:
-            pass
-
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(iters_per_sec, 4),
-                "unit": "iterations/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
+    # ---- config 2: north star (4-view 512^3; HBM options to fit one chip,
+    # fused Mosaic engine — measured 3.5x the fft engine at this config)
+    shape = (512, 512, 512)
+    iters2 = 3
+    data = MultiViewData(
+        views=jnp.asarray(rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k1),  # ignored under adjoint_kernel2
+        weights=jnp.full((V,), 1.0 / V, jnp.float32),
     )
+    psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
 
+    def run512():
+        return deconvolve_jit(
+            psi0 + 0.0,
+            data,
+            num_iterations=iters2,
+            lam=0.006,
+            min_value=1e-4,
+            algorithm="auto",
+            adjoint_kernel2=True,
+        )
 
-def np_pad_to(k, target):
-    from libmultiviewnative_tpu.deconv.workspace import pad_kernel_to
-
-    return pad_kernel_to(k, target)
+    value = _time_config(run512, jnp, iters2, reps=2)
+    _emit(f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed", value)
 
 
 if __name__ == "__main__":

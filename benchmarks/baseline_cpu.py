@@ -109,8 +109,30 @@ def main():
         "note": "measured stand-in for the reference FFTW-threads CPU path "
                 "(reference library unbuildable here: no FFTW/boost)",
     }
+    # merge into the existing file: top-level stays the headline (256^3)
+    # record for backward compatibility; every measured config also lands
+    # in "records" keyed by metric (bench.py looks metrics up there)
+    existing = {}
+    if os.path.exists(args.output):
+        try:
+            existing = json.load(open(args.output))
+        except Exception:
+            existing = {}
+    records = existing.get("records", {})
+    if existing.get("metric") and existing["metric"] not in records:
+        records[existing["metric"]] = {
+            k: existing[k] for k in ("value", "unit", "impl", "note")
+            if k in existing
+        }
+    records[record["metric"]] = {
+        k: record[k] for k in ("value", "unit", "impl", "note")
+    }
+    merged = dict(existing) if existing.get("metric") else dict(record)
+    if record["metric"] == merged.get("metric") or not merged.get("metric"):
+        merged.update(record)
+    merged["records"] = records
     with open(args.output, "w") as f:
-        json.dump(record, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(record))
 
 

@@ -36,10 +36,16 @@ class DispatchDivergenceWarning(UserWarning):
 
 def resolve_algorithm(algorithm: str, spatial_shape) -> str:
     """The engine 'auto' resolves to for a given spatial shape (mirrors
-    deconv.rl.deconvolve's crossover: MXU DFT wins <= 256/axis on v5e)."""
+    deconv.rl.deconvolve's crossover: MXU DFT wins <= 256/axis on v5e;
+    beyond that the fused Mosaic DFT-convolve where its layout
+    constraints hold, else the XLA FFT op)."""
     if algorithm != "auto":
         return algorithm
-    return "dft" if max(spatial_shape) <= 256 else "fft"
+    from .rl import fused_eligible
+
+    if max(spatial_shape) <= 256:
+        return "dft"
+    return "fused" if fused_eligible(spatial_shape) else "fft"
 
 
 def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int:
@@ -61,6 +67,8 @@ def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int
     spectrum_vols = 1
     if algo == "dft" and max(spatial) > 256:
         spectrum_vols = 2  # FullDFTPlan: full spectrum, split re/im
+    elif algo == "fused":
+        spectrum_vols = 2  # (Kx, Q, M) split re/im ~= 2 f32 volumes
     elif algo == "direct":
         spectrum_vols = 0  # kernels stay spatial (negligible vs volumes)
     spectra = 2 * V * spectrum_vols * vol
@@ -142,6 +150,16 @@ def deconvolve_auto(
             adjoint_kernel2=adjoint_kernel2, elementwise=elementwise,
             view_order=view_order,
         )
+
+    if algorithm == "fused":
+        # the fused Mosaic kernel is an in-core single-volume engine; the
+        # sharded/streamed rungs run their own per-shard/per-chunk engines
+        diverge(
+            "deconvolve_auto left the in-core rung, where algorithm='fused' "
+            "is not available — falling back to per-rung 'auto' engine "
+            "selection."
+        )
+        algorithm = "auto"
 
     if adjoint_kernel2:
         # the remaining rungs consume spatial kernel2 stacks directly

@@ -256,3 +256,43 @@ def test_model_view_order_honored_under_auto_dispatch(rng):
         deconvolve_jit(psi0, data, 2, view_order="simultaneous")
     )
     assert rms(got, want) < 1e-6
+
+
+def test_resolve_algorithm_fused_crossover(monkeypatch):
+    """'auto' routes: dft <= 256/axis; above that the fused Mosaic kernel
+    when its layout constraints hold AND the backend is a real TPU; the
+    fft engine otherwise (including always on the CPU test mesh)."""
+    from libmultiviewnative_tpu.deconv import dispatch as dp
+    from libmultiviewnative_tpu.deconv import rl
+
+    assert dp.resolve_algorithm("auto", (256, 256, 256)) == "dft"
+    assert dp.resolve_algorithm("dft", (512, 512, 512)) == "dft"
+    # this suite runs on the CPU mesh: never fused
+    assert dp.resolve_algorithm("auto", (512, 512, 512)) == "fft"
+
+    monkeypatch.setattr(rl.jax, "default_backend", lambda: "tpu")
+    assert dp.resolve_algorithm("auto", (512, 512, 512)) == "fused"
+    # constraint violations fall back to fft
+    assert dp.resolve_algorithm("auto", (300, 512, 512)) == "fft"  # Z%8
+    assert dp.resolve_algorithm("auto", (512, 512, 511)) == "fft"  # odd X
+
+
+def test_auto_fused_request_falls_back_off_incore(rng, monkeypatch):
+    """algorithm='fused' is in-core-only: when dispatch leaves the in-core
+    rung it must warn and fall back to per-rung auto, not crash."""
+    import warnings as _w
+    from libmultiviewnative_tpu.deconv.dispatch import DispatchDivergenceWarning
+
+    data = _data(rng)
+    psi0 = jnp.full(data.spatial_shape, 100.0, jnp.float32)
+    monkeypatch.setattr(
+        "libmultiviewnative_tpu.deconv.dispatch.device_capacity_bytes",
+        lambda device=None: 1,
+    )
+    monkeypatch.setattr("jax.device_count", lambda: 1)
+    with pytest.warns(DispatchDivergenceWarning):
+        out = deconvolve_auto(
+            psi0, data, num_iterations=2, algorithm="fused", chunk_z=8
+        )
+    ref = deconvolve_jit(psi0, data, num_iterations=2, algorithm="fft")
+    assert rms(np.asarray(out), np.asarray(ref)) < 1e-4
