@@ -26,10 +26,13 @@ def main():
     p = base_parser("streamed out-of-core RL deconvolve")
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--iterations", type=int, default=2)
-    p.add_argument("--chunk-z", type=int, default=64)
-    p.add_argument("--algorithm", default="fft",
+    p.add_argument("--chunk-z", default="auto",
+                   help="int or 'auto' (engine-friendly extended extent)")
+    p.add_argument("--algorithm", default="auto",
                    choices=["fft", "dft", "direct", "auto"])
     args = p.parse_args()
+    if args.chunk_z != "auto":
+        args.chunk_z = int(args.chunk_z)
     setup_platform(args.platform)
 
     from libmultiviewnative_tpu.deconv.streamed import deconvolve_streamed

@@ -43,9 +43,9 @@ def resolve_algorithm(algorithm: str, spatial_shape) -> str:
         return algorithm
     from .rl import fused_eligible
 
-    if max(spatial_shape) <= 256:
-        return "dft"
-    return "fused" if fused_eligible(spatial_shape) else "fft"
+    if max(spatial_shape) >= 256 and fused_eligible(spatial_shape):
+        return "fused"
+    return "dft" if max(spatial_shape) <= 256 else "fft"
 
 
 def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int:
@@ -96,7 +96,7 @@ def deconvolve_auto(
     min_value: float = 1e-4,
     algorithm: str = "auto",
     headroom: float = 0.9,
-    chunk_z: int = 64,
+    chunk_z="auto",
     adjoint_kernel2: bool = False,
     elementwise: str = "jnp",
     view_order: str = "sequential",

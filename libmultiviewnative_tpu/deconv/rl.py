@@ -250,14 +250,18 @@ def deconvolve(
                 f"{tuple(data.kernel1.shape[-3:])}"
             )
     if algorithm == "auto":
-        # measured on TPU v5e: the MXU dense DFT beats XLA's FFT op up to
-        # ~256 per axis; beyond that the fused 3-pass Mosaic DFT-convolve
-        # wins where its layout constraints hold (3.5x the fft engine at
-        # 4-view 512^3), with the XLA FFT op as the general fallback.
-        if max(spatial) <= 256:
+        # measured on TPU v5e (docs/PERFORMANCE.md): the einsum MXU DFT
+        # beats XLA's FFT op below 256/axis; at 256-class and above the
+        # fused 3-pass Mosaic DFT-convolve with mixed-radix split stages
+        # wins where its layout constraints hold (55.4 vs 50.6 it/s at
+        # 4-view 256^3; 4.6x the fft engine at 512^3), with the XLA FFT
+        # op as the general fallback.
+        if max(spatial) < 256:
             algorithm = "dft"
         elif psi.ndim == 3 and fused_eligible(spatial):
             algorithm = "fused"
+        elif max(spatial) <= 256:
+            algorithm = "dft"
         else:
             algorithm = "fft"
     if algorithm == "fft":

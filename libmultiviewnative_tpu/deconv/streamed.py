@@ -69,6 +69,30 @@ def _resolve_chunk_algorithm(algorithm: str, ext_shape) -> str:
     return "dft" if max(ext_shape) <= 256 else "fft"
 
 
+def _smooth(n: int) -> bool:
+    """2^a * 3^b * 5^c — sizes XLA's FFT handles at mixed-radix speed."""
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def pick_chunk_z(Z: int, lo: int, hi: int) -> int:
+    """Chunk size whose EXTENDED extent (chunk + halos) is engine-friendly.
+
+    The z-extent the device actually transforms is chunk + lo + hi; a
+    naive power-of-two chunk makes it 2^k + (kernel-1), which lands on
+    Bluestein-fallback sizes for the fft engine (measured: 4-view 512^3
+    with chunk 128 -> ext 148 = 4*37 ran 400+ s/iteration).  Pick the
+    largest chunk <= min(Z, 256 - halos) with a 5-smooth extended extent —
+    <=256 also keeps the 'auto' chunk engine on the dense-DFT MXU path."""
+    cap = min(Z, 256 - lo - hi)
+    for c in range(cap, 15, -1):
+        if _smooth(c + lo + hi):
+            return c
+    return max(cap, 1)
+
+
 @partial(jax.jit, static_argnames=("out_z", "lo"))
 def _quot_chunk_fft(ext, k_hat, view_c, out_z: int, lo: int):
     """Pass A chunk program, fft engine: view / (ext (x) k1), cropped."""
@@ -189,17 +213,25 @@ def deconvolve_streamed(
     num_iterations: int,
     lam: float = 0.0,
     min_value: float = 1e-4,
-    chunk_z: int = 64,
+    chunk_z="auto",
     algorithm: str = "fft",
     elementwise: str = "jnp",
 ) -> np.ndarray:
     """Host-resident multi-view RL; device sees only Z-chunks.
+
+    ``chunk_z``: an int, or "auto" (default) to pick a chunk whose
+    extended extent is engine-friendly (:func:`pick_chunk_z`).
 
     Exact same math as deconv.rl.deconvolve(view_order='sequential') — the
     acceptance contract of the reference's interleaved mode
     (tests/test_gpu_deconvolve_impl.cu compares both strategies to the same
     goldens)."""
     psi = np.array(psi, np.float32, copy=True)
+    if chunk_z == "auto":
+        halos = [halo_widths(np.shape(k)) for ks in (kernels1, kernels2) for k in ks]
+        lo = max(h[0][0] for h in halos)
+        hi = max(h[1][0] for h in halos)
+        chunk_z = pick_chunk_z(psi.shape[0], lo, hi)
     quotient = np.empty_like(psi)
 
     upd_fns = _update_chunk_fns(elementwise)

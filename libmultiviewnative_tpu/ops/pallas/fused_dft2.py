@@ -1,4 +1,5 @@
-"""Fused 3-pass Mosaic DFT-convolve, v2 — transposed-lane layout.
+"""Fused 3-pass Mosaic DFT-convolve, v2 — transposed-lane layout with
+mixed-radix (DIF) split stages.
 
 Round-1's fused kernel (negative result, tombstoned in
 docs/PERFORMANCE.md) kept the hermitian-halved x-spectrum (Kx = X/2+1,
@@ -16,26 +17,47 @@ spectra) spans full 128-lane tiles:
   intermediate    (Kx, Z, M)  — split re/im; pass B reads/writes clean
                                 (1, Z, M) leading-dim blocks
   kernel spectrum (Kx, Q, M)  — split re/im, precomputed in this layout
+                                (and pre-PERMUTED for split stages, below)
 
   pass A  per z-slab:  plane (X, Y):
             t = Fx(Kx,X) @ plane          x-rfft, left-mult
-            u = t @ Gy(Y,M)               y-DFT, right-mult (Karatsuba)
+            u = split-DFT_y(t)            y-DFT, right-mult (Karatsuba)
   pass B  per x-freq k:  slice (Z, M):
-            v = Fz(Q,Z) @ u               z-DFT (Karatsuba)
+            v = split-DFT_z(u)            z-DFT (Karatsuba)
             p = v * K̂[k]                 spectral multiply
-            w = Bz(Z,Q) @ p               z-inverse, 1/Z folded (Karatsuba)
+            w = split-IDFT_z(p)           z-inverse, 1/Z folded
   pass C  per z-slab:  slice (Kx, M):
-            t = u @ By(M,Y)               y-inverse, 1/Y folded (Karatsuba)
+            t = split-IDFT_y(u)           y-inverse, 1/Y folded
             out = BxC(X,Kx) @ t_re - BxS @ t_im
                                           hermitian-weighted x-irfft
 
-Every contraction is a plain 2D (M,K)@(K,N) with the constant DFT matrix
-pre-oriented outside the kernel — no reshapes, no transposes, nothing for
-Mosaic's layout inference to reject.  Complex-by-complex stages use the
-3-multiplication Karatsuba form (m1 = A@c, m2 = B@d, m3 = (A+B)@(c+d);
-re = m1-m2, im = m3-m1-m2) with A+B precomputed — 25% fewer matmul FLOPs
-than the 4-product form.  HBM traffic per 256³ convolve is ~1.1 GB (vs
-~2.7 GB of materialized stages for the einsum engine).
+Mixed-radix split stages (round 2): a length-N DFT with N = R*M is
+computed decimation-in-frequency style with BLOCK-contiguous data —
+nothing Mosaic's layout inference has to reshape or transpose:
+
+    X[R*p + q] = sum_j W_M[p,j] * tw_q[j] * y_q[j],
+    y_q[j]     = sum_r omega_R^{q r} * x[j + M*r]
+
+  (1) y_q: R complex-scalar-weighted adds of contiguous (M, B) blocks
+      — VPU work, N*R per element-column, negligible;
+  (2) twiddle tw_q[j] = omega_N^{q j}: one elementwise complex multiply;
+  (3) one (M,M)@(M,B) Karatsuba matmul per q — MXU FLOPs drop from
+      N^2*B to N*M*B per stage, i.e. R-fold, while the contraction depth
+      stays M=128 (full MXU tiles).
+
+The outputs land INTERLEAVED (block q holds frequencies {R*p+q}).  No
+array is ever physically permuted: the kernel spectrum is pre-permuted
+into the same interleaved order at prepare time (prepare-side cost), the
+spectral multiply is elementwise, and the inverse stage is built to
+consume the interleaved order symmetrically (x[j+M*r] accumulated from
+per-q inverse-DFT_M blocks).  1/N is folded as 1/M into the inverse
+stage matrix and 1/R into the inverse scalar table.
+
+Complex-by-complex stages use the 3-multiplication Karatsuba form
+(m1 = A@c, m2 = B@d, m3 = (A+B)@(c+d); re = m1-m2, im = m3-m1-m2) with
+A+B precomputed — 25% fewer matmul FLOPs than the 4-product form.  HBM
+traffic per 256^3 convolve is ~1.1 GB (vs ~2.7 GB of materialized stages
+for the einsum engine); the split stages change FLOPs, not traffic.
 
 Measured A/B notes (v5e, docs/PERFORMANCE.md): the (Kx, Z, M)
 intermediate with strided pass-A sublane writes BEATS the (Z, Kx, M)
@@ -63,19 +85,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-class FusedPlan(NamedTuple):
-    """Constant stage matrices, pre-oriented for the v2 layout.
+class SplitSpec(NamedTuple):
+    """Constants for one split (or dense, R=1) DFT stage of length N=R*M.
 
-    Complex stages carry (A, B, A+B) triples for the Karatsuba form,
-    where the stage operator is A + iB.
+    ``wf``/``wi``: forward/inverse (M, M) stage-matrix Karatsuba triples
+    (A, B, A+B); inverse carries 1/M.  ``twf``/``twi``: (R, M) twiddle
+    re/im pairs omega_N^{±qj}.  ``omf``/``omi``: numpy complex (R, R)
+    scalar tables omega_R^{±qr} (inverse carries 1/R) — baked into the
+    kernel body as immediates, not refs.
     """
+
+    R: int
+    M: int
+    wf: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    twf: Tuple[jnp.ndarray, jnp.ndarray]
+    wi: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    twi: Tuple[jnp.ndarray, jnp.ndarray]
+    omf: np.ndarray
+    omi: np.ndarray
+
+
+class FusedPlan(NamedTuple):
+    """Constant stage matrices, pre-oriented for the v2 layout."""
 
     fxc: jnp.ndarray  # (Kx, X)  forward x cos
     fxs: jnp.ndarray  # (Kx, X)  forward x -sin
-    gy: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (Y, M) fwd y: Cy, -Sy
-    fz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (Q, Z) fwd z: Cz, -Sz
-    bz: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (Z, Q) inv z: C/Z, +S/Z
-    by: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (M, Y) inv y: C/Y, +S/Y
+    sy: SplitSpec  # y stage (right-mult)
+    sz: SplitSpec  # z stage (left-mult)
     bxc: jnp.ndarray  # (X, Kx)  inverse x, hermitian-weighted cos / X
     bxs: jnp.ndarray  # (X, Kx)  inverse x, hermitian-weighted sin / X
     shape: Tuple[int, int, int]  # (Z, Y, X)
@@ -90,17 +126,47 @@ def _triple(a: np.ndarray, b: np.ndarray):
     return (f32(a), f32(b), f32(a + b))
 
 
+def pick_split(n: int) -> Tuple[int, int]:
+    """(R, M) for a length-n stage: M=128 keeps the MXU contraction at
+    full tile depth; split only when n is a multiple of 128 above 128
+    (measured: R-fold stage-FLOP cut at unchanged HBM traffic)."""
+    if n % 128 == 0 and n > 128:
+        return (n // 128, 128)
+    return (1, n)
+
+
+def _make_split(n: int, split: Tuple[int, int]) -> SplitSpec:
+    R, M = split
+    assert R * M == n, (R, M, n)
+    jm = np.outer(np.arange(M), np.arange(M)) * (2.0 * np.pi / M)
+    qj = np.outer(np.arange(R), np.arange(M)) * (2.0 * np.pi / n)
+    qr = np.outer(np.arange(R), np.arange(R)) * (2.0 * np.pi / R)
+    f32 = lambda m: jnp.asarray(m, jnp.float32)
+    return SplitSpec(
+        R=R,
+        M=M,
+        wf=_triple(np.cos(jm), -np.sin(jm)),
+        twf=(f32(np.cos(qj)), f32(-np.sin(qj))),
+        wi=_triple(np.cos(jm) / M, np.sin(jm) / M),
+        twi=(f32(np.cos(qj)), f32(np.sin(qj))),
+        omf=np.exp(-2j * np.pi / R * np.outer(np.arange(R), np.arange(R))),
+        omi=np.exp(+2j * np.pi / R * np.outer(np.arange(R), np.arange(R))) / R,
+    )
+
+
 @functools.lru_cache(maxsize=16)
-def make_fused_plan(shape: Tuple[int, int, int]) -> FusedPlan:
+def make_fused_plan(
+    shape: Tuple[int, int, int],
+    splits: Tuple[Tuple[int, int], Tuple[int, int]] = None,
+) -> FusedPlan:
+    """``splits``: ((Rz, Mz), (Ry, My)) or None for the measured default
+    (:func:`pick_split` per axis)."""
     Z, Y, X = (int(s) for s in shape)
     kx = X // 2 + 1
+    if splits is None:
+        splits = (pick_split(Z), pick_split(Y))
 
-    def theta(a, b, n):
-        return 2.0 * np.pi * np.outer(np.arange(a), np.arange(b)) / n
-
-    tx = theta(kx, X, X)
-    ty = theta(Y, Y, Y)
-    tz = theta(Z, Z, Z)
+    tx = 2.0 * np.pi * np.outer(np.arange(kx), np.arange(X)) / X
 
     # hermitian doubling weights for the real x-inverse
     w = np.full(kx, 2.0)
@@ -113,14 +179,22 @@ def make_fused_plan(shape: Tuple[int, int, int]) -> FusedPlan:
         return FusedPlan(
             fxc=f32(np.cos(tx)),
             fxs=f32(-np.sin(tx)),
-            gy=_triple(np.cos(ty), -np.sin(ty)),
-            fz=_triple(np.cos(tz), -np.sin(tz)),
-            bz=_triple(np.cos(tz).T / Z, np.sin(tz).T / Z),
-            by=_triple(np.cos(ty).T / Y, np.sin(ty).T / Y),
+            sy=_make_split(Y, splits[1]),
+            sz=_make_split(Z, splits[0]),
             bxc=f32((w[None, :] * np.cos(tx).T) / X),
             bxs=f32((w[None, :] * np.sin(tx).T) / X),
             shape=(Z, Y, X),
         )
+
+
+def split_perm(n: int, split: Tuple[int, int]) -> np.ndarray:
+    """Index array mapping interleaved stage-output position -> natural
+    frequency: position q*M+p holds frequency R*p+q.  Identity at R=1."""
+    R, M = split
+    idx = np.empty(n, np.int64)
+    for q in range(R):
+        idx[q * M : (q + 1) * M] = np.arange(M) * R + q
+    return idx
 
 
 _DIMS = (((1,), (0,)), ((), ()))
@@ -177,57 +251,181 @@ def _cmul_left(trip, d_re, d_im, precision):
     return m1 - m2, m3 - m1 - m2
 
 
+def _scalar_cmul(s, re, im):
+    """complex-scalar * complex-block with 1/±1/0 fast paths (the q=0 and
+    r=0 rows of the omega tables are all-ones)."""
+    a, b = float(s.real), float(s.imag)
+    if b == 0.0:
+        if a == 1.0:
+            return re, im
+        return a * re, a * im
+    if a == 0.0:
+        return -b * im, b * re
+    return a * re - b * im, b * re + a * im
+
+
+def _tw_mul(re, im, twr, twi):
+    """elementwise complex multiply by a twiddle row/col."""
+    return re * twr - im * twi, re * twi + im * twr
+
+
+# ---------------------------------------------------------------------------
+# split stages.  "right" variants contract the LANE axis (y stages, data
+# (rows, N) sliced in column blocks); "left" variants contract the SUBLANE
+# axis (z stages, data (N, lanes) sliced in row blocks).  All slices are
+# static; blocks are returned as lists so callers can store blockwise.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
+    """blocks: R input column blocks (rows, M).  Returns R output blocks;
+    block q = frequencies {R*p+q}."""
+    R = om.shape[0]
+    out_re, out_im = [], []
+    for q in range(R):
+        yr = yi = None
+        for r in range(R):
+            tr, ti = _scalar_cmul(om[q, r], blocks_re[r], blocks_im[r])
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        if q:
+            yr, yi = _tw_mul(yr, yi, twr[q][None, :], twi[q][None, :])
+        ur, ui = _cmul_right(yr, yi, w_trip, precision)
+        out_re.append(ur)
+        out_im.append(ui)
+    return out_re, out_im
+
+
+def _inv_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
+    """blocks: R frequency blocks (interleaved order).  Returns R spatial
+    column blocks; block r = columns {j + M*r}."""
+    R = om.shape[0]
+    acc_re = [None] * R
+    acc_im = [None] * R
+    for q in range(R):
+        zr, zi = _cmul_right(blocks_re[q], blocks_im[q], w_trip, precision)
+        if q:
+            zr, zi = _tw_mul(zr, zi, twr[q][None, :], twi[q][None, :])
+        for r in range(R):
+            tr, ti = _scalar_cmul(om[q, r], zr, zi)
+            acc_re[r] = tr if acc_re[r] is None else acc_re[r] + tr
+            acc_im[r] = ti if acc_im[r] is None else acc_im[r] + ti
+    return acc_re, acc_im
+
+
+def _fwd_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
+    """Row-block (M, lanes) variant of :func:`_fwd_split_right`."""
+    R = om.shape[0]
+    out_re, out_im = [], []
+    for q in range(R):
+        yr = yi = None
+        for r in range(R):
+            tr, ti = _scalar_cmul(om[q, r], blocks_re[r], blocks_im[r])
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        if q:
+            yr, yi = _tw_mul(yr, yi, twr[q][:, None], twi[q][:, None])
+        vr, vi = _cmul_left(w_trip, yr, yi, precision)
+        out_re.append(vr)
+        out_im.append(vi)
+    return out_re, out_im
+
+
+def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
+    R = om.shape[0]
+    acc_re = [None] * R
+    acc_im = [None] * R
+    for q in range(R):
+        zr, zi = _cmul_left(w_trip, blocks_re[q], blocks_im[q], precision)
+        if q:
+            zr, zi = _tw_mul(zr, zi, twr[q][:, None], twi[q][:, None])
+        for r in range(R):
+            tr, ti = _scalar_cmul(om[q, r], zr, zi)
+            acc_re[r] = tr if acc_re[r] is None else acc_re[r] + tr
+            acc_im[r] = ti if acc_im[r] is None else acc_im[r] + ti
+    return acc_re, acc_im
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
 def _pass_a_kernel(
-    x_ref, fxc_ref, fxs_ref, gya_ref, gyb_ref, gyab_ref,
-    ure_ref, uim_ref, *, precision,
+    x_ref, fxc_ref, fxs_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
+    ure_ref, uim_ref, *, om_y, precision,
 ):
-    """x-rfft + y-DFT for one z-slab.  x (B, X, Y) -> u (Kx, B, M)."""
+    """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kx, B, M)."""
     B = x_ref.shape[0]
+    R, M = om_y.shape[0], wya_ref.shape[0]
     fxc, fxs = fxc_ref[:], fxs_ref[:]
-    gy = (gya_ref[:], gyb_ref[:], gyab_ref[:])
+    wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
+    twr, twi = twyr_ref[:], twyi_ref[:]
     for b in range(B):
         p = x_ref[b]  # (X, Y)
         t_re = _dot(fxc, p, precision)  # (Kx, Y)
         t_im = _dot(fxs, p, precision)
-        u_re, u_im = _cmul_right(t_re, t_im, gy, precision)
-        ure_ref[:, b, :] = u_re
-        uim_ref[:, b, :] = u_im
+        blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
+        blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
+        out_re, out_im = _fwd_split_right(
+            blk_re, blk_im, wf, twr, twi, om_y, precision
+        )
+        for q in range(R):
+            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
+            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q]
 
 
 def _pass_b_kernel(
     ure_ref, uim_ref, kre_ref, kim_ref,
-    fza_ref, fzb_ref, fzab_ref, bza_ref, bzb_ref, bzab_ref,
-    ore_ref, oim_ref, *, precision,
+    fza_ref, fzb_ref, fzab_ref, ftzr_ref, ftzi_ref,
+    iza_ref, izb_ref, izab_ref, itzr_ref, itzi_ref,
+    ore_ref, oim_ref, *, om_zf, om_zi, precision,
 ):
-    """z-DFT + spectral multiply + z-inverse for one x-frequency slice
-    (1, Z, M) -> (1, Z, M)."""
-    fz = (fza_ref[:], fzb_ref[:], fzab_ref[:])
-    bz = (bza_ref[:], bzb_ref[:], bzab_ref[:])
-    v_re, v_im = _cmul_left(fz, ure_ref[0], uim_ref[0], precision)
-    k_re = kre_ref[0]  # (Q, M)
-    k_im = kim_ref[0]
-    p_re = v_re * k_re - v_im * k_im
-    p_im = v_re * k_im + v_im * k_re
-    w_re, w_im = _cmul_left(bz, p_re, p_im, precision)
-    ore_ref[0] = w_re
-    oim_ref[0] = w_im
+    """split z-DFT + spectral multiply + split z-inverse for one
+    x-frequency slice (1, Z, M) -> (1, Z, M).  The kernel spectrum is
+    pre-permuted into the interleaved z order (split_perm)."""
+    R, M = om_zf.shape[0], fza_ref.shape[0]
+    wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
+    wi = (iza_ref[:], izb_ref[:], izab_ref[:])
+    ftr, fti = ftzr_ref[:], ftzi_ref[:]
+    itr, iti = itzr_ref[:], itzi_ref[:]
+    blk_re = [ure_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    blk_im = [uim_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    v_re, v_im = _fwd_split_left(blk_re, blk_im, wf, ftr, fti, om_zf, precision)
+    p_re, p_im = [], []
+    for q in range(R):
+        k_re = kre_ref[0, q * M : (q + 1) * M, :]
+        k_im = kim_ref[0, q * M : (q + 1) * M, :]
+        p_re.append(v_re[q] * k_re - v_im[q] * k_im)
+        p_im.append(v_re[q] * k_im + v_im[q] * k_re)
+    w_re, w_im = _inv_split_left(p_re, p_im, wi, itr, iti, om_zi, precision)
+    for r in range(R):
+        ore_ref[0, r * M : (r + 1) * M, :] = w_re[r]
+        oim_ref[0, r * M : (r + 1) * M, :] = w_im[r]
 
 
 def _pass_c_kernel(
-    ure_ref, uim_ref, bya_ref, byb_ref, byab_ref, bxc_ref, bxs_ref,
-    out_ref, *, precision,
+    ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
+    bxc_ref, bxs_ref, out_ref, *, om_yi, precision,
 ):
-    """y-inverse + hermitian x-irfft for one z-slab.
+    """split y-inverse + hermitian x-irfft for one z-slab.
     u (Kx, B, M) -> out (B, X, Y)."""
     B = out_ref.shape[0]
-    by = (bya_ref[:], byb_ref[:], byab_ref[:])
+    R, M = om_yi.shape[0], wya_ref.shape[0]
+    wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
+    twr, twi = twyr_ref[:], twyi_ref[:]
     bxc, bxs = bxc_ref[:], bxs_ref[:]
     for b in range(B):
-        t_re, t_im = _cmul_right(
-            ure_ref[:, b, :], uim_ref[:, b, :], by, precision
+        blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        t_re, t_im = _inv_split_right(
+            blk_re, blk_im, wi, twr, twi, om_yi, precision
         )
-        # out = Re[ Bx @ t ]
-        out_ref[b] = _dot(bxc, t_re, precision) - _dot(bxs, t_im, precision)
+        for r in range(R):
+            # out = Re[ Bx @ t ], applied per contiguous column block
+            out_ref[b, :, r * M : (r + 1) * M] = _dot(
+                bxc, t_re[r], precision
+            ) - _dot(bxs, t_im[r], precision)
 
 
 def _slab(n_z: int, x: int, y: int) -> int:
@@ -241,7 +439,9 @@ def _slab(n_z: int, x: int, y: int) -> int:
 
 
 def kernel_spectrum_fused(kernel: jnp.ndarray, shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Wrapped-kernel spectrum in the (Kx, Q, M) v2 layout (split re/im).
+    """Wrapped-kernel spectrum in the (Kx, Q, M) v2 layout (split re/im),
+    pre-permuted into the interleaved split-stage order along Q (z) and M
+    (y) — identity permutations for dense (R=1) axes.
 
     Computed with the einsum engine's dft3 (compact layout (Q, M, Kx))
     then permuted once at prepare time — prepare-side cost, not loop cost.
@@ -250,6 +450,7 @@ def kernel_spectrum_fused(kernel: jnp.ndarray, shape) -> Tuple[jnp.ndarray, jnp.
     from ...core.wrap import wrap_kernel
 
     shape = tuple(int(s) for s in shape)
+    Z, Y, X = shape
     plan = make_dft_plan(shape)
     wrapped = wrap_kernel(jnp.asarray(kernel, jnp.float32), shape)
     if not isinstance(plan, DFTPlan):
@@ -258,8 +459,12 @@ def kernel_spectrum_fused(kernel: jnp.ndarray, shape) -> Tuple[jnp.ndarray, jnp.
         re, im = _dense_dft3(wrapped)
     else:
         re, im = dft3(wrapped, plan)
-    # (Q, M, Kx) -> (Kx, Q, M)
-    return jnp.transpose(re, (2, 0, 1)), jnp.transpose(im, (2, 0, 1))
+    # (Q, M, Kx) -> (Kx, Q, M), then interleave split-stage frequencies
+    re = jnp.transpose(re, (2, 0, 1))
+    im = jnp.transpose(im, (2, 0, 1))
+    pz = split_perm(Z, pick_split(Z))
+    py = split_perm(Y, pick_split(Y))
+    return re[:, pz][:, :, py], im[:, pz][:, :, py]
 
 
 def _dense_dft3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -267,13 +472,19 @@ def _dense_dft3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     spectra when core.dft would pick a FullDFTPlan).  float32 einsums at
     HIGHEST precision; prepare-time only."""
     Z, Y, X = (int(s) for s in x.shape[-3:])
-    p = make_fused_plan((Z, Y, X))
+    kx = X // 2 + 1
+    ty = 2.0 * np.pi * np.outer(np.arange(Y), np.arange(Y)) / Y
+    tz = 2.0 * np.pi * np.outer(np.arange(Z), np.arange(Z)) / Z
+    tx = 2.0 * np.pi * np.outer(np.arange(kx), np.arange(X)) / X
+    with jax.ensure_compile_time_eval():
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        fxc, fxs = f32(np.cos(tx)), f32(-np.sin(tx))
+        cy, msy = f32(np.cos(ty)), f32(-np.sin(ty))
+        cz, msz = f32(np.cos(tz)), f32(-np.sin(tz))
     hi = jax.lax.Precision.HIGHEST
     e = functools.partial(jnp.einsum, precision=hi)
-    cy, msy = p.gy[0], p.gy[1]  # (Y, M): Cy, -Sy
-    cz, msz = p.fz[0], p.fz[1]  # (Q, Z): Cz, -Sz
-    re = e("...zyx,kx->...zyk", x, p.fxc)
-    im = e("...zyx,kx->...zyk", x, p.fxs)
+    re = e("...zyx,kx->...zyk", x, fxc)
+    im = e("...zyx,kx->...zyk", x, fxs)
     # (re + i im) @ (Cy + i(-Sy))
     re, im = (
         e("...zyk,ym->...zmk", re, cy) - e("...zyk,ym->...zmk", im, msy),
@@ -298,9 +509,10 @@ def fused_convolve_transposed(
     precision: str = "highest",
 ) -> jnp.ndarray:
     """Circular convolution of a (Z, X, Y)-TRANSPOSED volume with a
-    pre-forwarded (Kx, Q, M)-layout split spectrum; returns the transposed
-    convolved volume.  The fast path — callers keep volumes transposed
-    across the whole RL loop (see deconv.rl algorithm='fused')."""
+    pre-forwarded (Kx, Q, M)-layout split spectrum (pre-permuted per
+    :func:`kernel_spectrum_fused`); returns the transposed convolved
+    volume.  The fast path — callers keep volumes transposed across the
+    whole RL loop (see deconv.rl algorithm='fused')."""
     if xt.ndim != 3:
         raise ValueError("fused path operates on single volumes")
     Z, X, Y = (int(s) for s in xt.shape)
@@ -313,6 +525,7 @@ def fused_convolve_transposed(
     Kx = plan.kx
     B = _slab(Z, X, Y)
     M = Y
+    sy, sz = plan.sy, plan.sz
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     vmem = pltpu.VMEM
@@ -322,15 +535,17 @@ def fused_convolve_transposed(
 
     # ---- pass A: grid over z-slabs; (B, X, Y) -> (Kx, B, M)
     u_re, u_im = pl.pallas_call(
-        functools.partial(_pass_a_kernel, precision=precision),
+        functools.partial(_pass_a_kernel, om_y=sy.omf, precision=precision),
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=vmem),
             full((Kx, X)),
             full((Kx, X)),
-            full((Y, M)),
-            full((Y, M)),
-            full((Y, M)),
+            full((sy.M, sy.M)),
+            full((sy.M, sy.M)),
+            full((sy.M, sy.M)),
+            full((sy.R, sy.M)),
+            full((sy.R, sy.M)),
         ],
         out_specs=(
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
@@ -342,17 +557,19 @@ def fused_convolve_transposed(
         ),
         interpret=interpret,
         compiler_params=params,
-    )(xt, plan.fxc, plan.fxs, *plan.gy)
+    )(xt, plan.fxc, plan.fxs, *sy.wf, *sy.twf)
 
     # ---- pass B: grid over x-frequencies; clean (1, Z, M) leading blocks
     blk = lambda: pl.BlockSpec((1, Z, M), lambda k: (k, 0, 0), memory_space=vmem)
     v_re, v_im = pl.pallas_call(
-        functools.partial(_pass_b_kernel, precision=precision),
+        functools.partial(_pass_b_kernel, om_zf=sz.omf, om_zi=sz.omi, precision=precision),
         grid=(Kx,),
         in_specs=[
             blk(), blk(), blk(), blk(),
-            full((Z, Z)), full((Z, Z)), full((Z, Z)),
-            full((Z, Z)), full((Z, Z)), full((Z, Z)),
+            full((sz.M, sz.M)), full((sz.M, sz.M)), full((sz.M, sz.M)),
+            full((sz.R, sz.M)), full((sz.R, sz.M)),
+            full((sz.M, sz.M)), full((sz.M, sz.M)), full((sz.M, sz.M)),
+            full((sz.R, sz.M)), full((sz.R, sz.M)),
         ],
         out_specs=(blk(), blk()),
         out_shape=(
@@ -361,18 +578,20 @@ def fused_convolve_transposed(
         ),
         interpret=interpret,
         compiler_params=params,
-    )(u_re, u_im, k_re, k_im, *plan.fz, *plan.bz)
+    )(u_re, u_im, k_re, k_im, *sz.wf, *sz.twf, *sz.wi, *sz.twi)
 
     # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
     out = pl.pallas_call(
-        functools.partial(_pass_c_kernel, precision=precision),
+        functools.partial(_pass_c_kernel, om_yi=sy.omi, precision=precision),
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
-            full((M, Y)),
-            full((M, Y)),
-            full((M, Y)),
+            full((sy.M, sy.M)),
+            full((sy.M, sy.M)),
+            full((sy.M, sy.M)),
+            full((sy.R, sy.M)),
+            full((sy.R, sy.M)),
             full((X, Kx)),
             full((X, Kx)),
         ],
@@ -382,7 +601,7 @@ def fused_convolve_transposed(
         out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
         interpret=interpret,
         compiler_params=params,
-    )(v_re, v_im, *plan.by, plan.bxc, plan.bxs)
+    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxc, plan.bxs)
     return out
 
 

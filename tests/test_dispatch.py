@@ -272,6 +272,9 @@ def test_resolve_algorithm_fused_crossover(monkeypatch):
 
     monkeypatch.setattr(rl.jax, "default_backend", lambda: "tpu")
     assert dp.resolve_algorithm("auto", (512, 512, 512)) == "fused"
+    # 256-class shapes route to fused too (measured 55.4 vs 50.6 it/s)
+    assert dp.resolve_algorithm("auto", (256, 256, 256)) == "fused"
+    assert dp.resolve_algorithm("auto", (128, 128, 128)) == "dft"
     # constraint violations fall back to fft
     assert dp.resolve_algorithm("auto", (300, 512, 512)) == "fft"  # Z%8
     assert dp.resolve_algorithm("auto", (512, 512, 511)) == "fft"  # odd X

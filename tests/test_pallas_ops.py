@@ -130,3 +130,45 @@ def test_fused2_spectrum_layout_roundtrip(rng):
     np.testing.assert_allclose(
         np.asarray(im2), np.transpose(np.asarray(im), (2, 0, 1)), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize(
+    "shape", [(256, 16, 16), (16, 256, 16), (256, 256, 16)], ids=str
+)
+def test_fused2_split_stages_match_oracle(shape, rng):
+    """Axes that are multiples of 128 take the mixed-radix DIF split
+    stages (R-fold fewer MXU FLOPs, interleaved frequency order absorbed
+    by the pre-permuted kernel spectrum) — the result must still match
+    the float64 numpy oracle."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+        pick_split,
+    )
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    # the shapes under test exercise z-split, y-split, and both
+    assert any(pick_split(int(s))[0] > 1 for s in shape[:2])
+    x = (rng.normal(size=shape) + 3.0).astype(np.float32)
+    k = gaussian_kernel((5, 5, 5), 1.1)
+    kre, kim = kernel_spectrum_fused(jnp.asarray(k), shape)
+    got = np.asarray(
+        fused_convolve_spectrum(jnp.asarray(x), kre, kim, interpret=True)
+    )
+    ref = np_convolve_spectrum(
+        x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_fused2_split_perm_identity_and_interleave():
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import split_perm
+
+    np.testing.assert_array_equal(split_perm(16, (1, 16)), np.arange(16))
+    # position q*M+p holds frequency R*p+q
+    p = split_perm(8, (2, 4))
+    np.testing.assert_array_equal(p, [0, 2, 4, 6, 1, 3, 5, 7])
