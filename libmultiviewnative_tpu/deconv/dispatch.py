@@ -7,7 +7,10 @@ refused.  Here the ladder is:
 
   1. fits on one chip              -> deconvolve_jit (in-core)
   2. >1 device and fits per-shard  -> deconvolve_sharded over ('view','z')
-  3. otherwise                     -> deconvolve_streamed (host-resident)
+  3. psi+spectra fit, views don't  -> deconvolve_interleaved (psi on
+                                      device, views streamed — the
+                                      reference's interleaved design point)
+  4. otherwise                     -> deconvolve_streamed (host-resident)
 
 The decision is logged under LMVN_TRACE like the reference's stdout notice
 (multiviewnative.cu:120-124).
@@ -75,6 +78,20 @@ def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int
     return (2 * V) * vol + spectra + 8 * vol
 
 
+def estimate_interleaved_bytes(data: MultiViewData, algorithm: str = "auto") -> int:
+    """Device working set of the interleaved rung (deconv.interleaved):
+    psi + 3 temporaries + both kernel-spectrum sets — views/weights stay
+    host-resident and stream through in chunks."""
+    spatial = data.spatial_shape
+    vol = 4 * math.prod(spatial)
+    V = data.num_views
+    algo = algorithm if algorithm in ("fft", "dft") else (
+        "dft" if max(spatial) <= 256 else "fft"
+    )
+    spectrum_vols = 2 if (algo == "dft" and max(spatial) > 256) else 1
+    return (4 + 2 * V * spectrum_vols) * vol
+
+
 def device_capacity_bytes(device=None) -> int:
     d = device or jax.devices()[0]
     try:
@@ -106,7 +123,8 @@ def deconvolve_auto(
 
     Option fidelity contract:
       * ``algorithm`` and ``elementwise`` are forwarded to every rung
-        (in-core, sharded, streamed).
+        (in-core, sharded, interleaved, streamed); the interleaved rung
+        supports fft/dft engines (an explicit 'direct' request skips it).
       * ``adjoint_kernel2``: the sharded/streamed rungs (which consume
         spatial kernels) receive a materialized flip(kernel1) in place of
         data.kernel2 — equivalent to the in-core conjugate-spectrum path
@@ -195,6 +213,40 @@ def deconvolve_auto(
             )
         trace_print("dispatch: no valid mesh factorization; streaming")
 
+    views = [np.asarray(data.views[v]) for v in range(data.num_views)]
+    k1 = [np.asarray(data.kernel1[v]) for v in range(data.num_views)]
+    k2 = [np.asarray(data.kernel2[v]) for v in range(data.num_views)]
+
+    est_il = estimate_interleaved_bytes(data, algorithm)
+    if algorithm != "direct" and est_il < cap:
+        # interleaved rung: psi device-resident, views streamed — the
+        # reference's interleaved mode design point (sequential math, so a
+        # simultaneous request diverges; elementwise is the same XLA-fused
+        # jnp chain as in-core, semantically identical either way)
+        if view_order == "simultaneous":
+            diverge(
+                "deconvolve_auto selected the interleaved rung, which runs "
+                "the SEQUENTIAL view order — the requested simultaneous "
+                "math will differ."
+            )
+        trace_print(
+            f"dispatch: interleaved (est {est_il>>20} MiB device-resident, "
+            f"views streamed; in-core would need {est>>20} MiB)"
+        )
+        from .interleaved import deconvolve_interleaved
+
+        ws_il = [
+            np.asarray(data.weights[v]) for v in range(data.num_views)
+        ]
+        ck = 64 if chunk_z == "auto" else chunk_z
+        return jnp.asarray(
+            deconvolve_interleaved(
+                np.asarray(psi), views, k1, k2, ws_il, num_iterations,
+                lam=lam, min_value=min_value, chunk_z=ck,
+                algorithm=algorithm,
+            )
+        )
+
     trace_print(f"dispatch: streamed (est {est>>20} MiB > {cap>>20} MiB)")
     if view_order == "simultaneous":
         diverge(
@@ -202,9 +254,6 @@ def deconvolve_auto(
             "SEQUENTIAL view order — the requested simultaneous math will "
             "differ."
         )
-    views = [np.asarray(data.views[v]) for v in range(data.num_views)]
-    k1 = [np.asarray(data.kernel1[v]) for v in range(data.num_views)]
-    k2 = [np.asarray(data.kernel2[v]) for v in range(data.num_views)]
     ws = [
         np.asarray(jnp.broadcast_to(data.weights[v], data.spatial_shape))
         for v in range(data.num_views)

@@ -1,0 +1,179 @@
+"""Interleaved out-of-core rung: device-resident psi, host-streamed views.
+
+The TPU recast of the reference's interleaved GPU mode's actual design
+point (src/gpu_deconvolve_methods.cuh:85-326): there, psi and the work
+buffers LIVE ON THE DEVICE across the whole run and only the per-view
+payloads (forwarded kernels, view image, weights) stream in, overlapped
+with compute via 2 CUDA streams and a prefetch "kick"
+(inc/gpu_convolve.cuh:57-98).  The fully-streamed rung (deconv.streamed)
+additionally chunks psi itself — correct for psi > HBM, but it moves
+~25x more bytes per iteration.
+
+Here:
+  * psi / quotient / integral are device arrays for the whole run
+    (buffer-donated between steps — XLA's in-place analog of the
+    reference's rotating device buffers, gpu_deconvolve_methods.cuh:160-171);
+  * both convolves per view step run IN-CORE on the device (honoring the
+    fft/dft engines; kernel spectra are forwarded once per view and
+    cached on device — the analog of generate_forwarded_kernels,
+    src/gpu_deconvolve_methods.cuh:28-65);
+  * only the view image (and per-voxel weights, if any) stream
+    host->device, in z-chunks, each chunk's H2D dispatched asynchronously
+    so it overlaps the previous chunk's elementwise work (the kick);
+    scalar per-view weights stream nothing at all;
+  * nothing returns to the host until the final psi fetch.
+
+Per-iteration host<->device traffic for V views of volume S bytes:
+views V*S (+weights V*S if per-voxel), vs the fully-streamed rung's
+~3*V*S down + ~(2V+2)*S up.  On a host-attached TPU the chunk H2D rides
+DMA behind compute; on this image's tunneled chip transfers dominate
+either way (docs/PERFORMANCE.md, streamed measurements).
+
+Memory: needs psi + 3 temporaries + 2V kernel spectra on device — the
+dispatch ladder (deconv.dispatch) selects this rung when that fits but
+the in-core workspace (which additionally holds all views+weights) does
+not.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.convolve import convolve_spectrum
+from ..core.dft import dft_convolve_spectrum, kernel_spectrum_split
+from ..core.fft import rfft3
+from ..core.kernels import rl_update
+from ..core.wrap import wrap_kernel
+
+
+def _resolve_engine(algorithm: str, spatial_shape) -> str:
+    if algorithm == "auto":
+        # full-volume convolves: same crossover as the in-core engines
+        # (the fused engine's transposed-layout flow is in-core-only)
+        return "dft" if max(spatial_shape) <= 256 else "fft"
+    if algorithm not in ("fft", "dft"):
+        raise ValueError(
+            f"interleaved rung supports algorithm 'fft'|'dft'|'auto', "
+            f"got {algorithm!r}"
+        )
+    return algorithm
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _convolve_fft(x, k_hat):
+    return convolve_spectrum(x, k_hat)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _convolve_dft(x, k_re, k_im):
+    return dft_convolve_spectrum(x, k_re, k_im)
+
+
+@partial(jax.jit, static_argnames=("z0",), donate_argnums=(0,))
+def _quot_chunk(quotient, view_chunk, blurred, z0: int):
+    """quotient[z0:z1] = view_chunk / blurred[z0:z1] (device-side)."""
+    bz = view_chunk.shape[0]
+    b = lax.dynamic_slice_in_dim(blurred, z0, bz, axis=0)
+    return lax.dynamic_update_slice_in_dim(
+        quotient, view_chunk * (1.0 / b), z0, axis=0
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("z0", "lam", "min_value"),
+    donate_argnums=(0,),
+)
+def _update_chunk(psi, integral, w_chunk, z0: int, lam: float, min_value: float):
+    bz = w_chunk.shape[0]
+    pz = lax.dynamic_slice_in_dim(psi, z0, bz, axis=0)
+    iz = lax.dynamic_slice_in_dim(integral, z0, bz, axis=0)
+    return lax.dynamic_update_slice_in_dim(
+        psi, rl_update(pz, iz, w_chunk, lam, min_value), z0, axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("lam", "min_value"), donate_argnums=(0,))
+def _update_scalar(psi, integral, w, lam: float, min_value: float):
+    return rl_update(psi, integral, w, lam, min_value)
+
+
+def _chunk_bounds(Z: int, chunk: int):
+    return [(z0, min(z0 + chunk, Z)) for z0 in range(0, Z, chunk)]
+
+
+def deconvolve_interleaved(
+    psi: np.ndarray,
+    views: Sequence[np.ndarray],
+    kernels1: Sequence[np.ndarray],
+    kernels2: Sequence[np.ndarray],
+    weights: Sequence,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    chunk_z: int = 64,
+    algorithm: str = "auto",
+) -> np.ndarray:
+    """Sequential-parity RL with device-resident psi and streamed views.
+
+    ``weights[v]`` may be a scalar (uniform blending: zero streaming) or a
+    full (Z, Y, X) stack (streamed in z-chunks like the view).  Math is
+    identical to deconv.rl.deconvolve(view_order='sequential').
+    """
+    shape = tuple(int(s) for s in np.shape(psi))
+    engine = _resolve_engine(algorithm, shape)
+    V = len(views)
+
+    # forward all kernel spectra once, device-resident (the
+    # generate_forwarded_kernels analog)
+    if engine == "fft":
+        k1h = [rfft3(wrap_kernel(jnp.asarray(k, jnp.float32), shape)) for k in kernels1]
+        k2h = [rfft3(wrap_kernel(jnp.asarray(k, jnp.float32), shape)) for k in kernels2]
+        convolve = lambda x, op: _convolve_fft(x, *op)
+        ops1, ops2 = [(h,) for h in k1h], [(h,) for h in k2h]
+    else:
+        ops1 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels1]
+        ops2 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels2]
+        convolve = lambda x, op: _convolve_dft(x, *op)
+
+    w_scalars: List = []
+    for w in weights:
+        w_arr = np.asarray(w, np.float32)
+        w_scalars.append(float(w_arr) if w_arr.ndim == 0 else None)
+
+    psi_dev = jnp.asarray(np.asarray(psi, np.float32))
+    bounds = _chunk_bounds(shape[0], int(chunk_z))
+
+    for _ in range(num_iterations):
+        for v in range(V):
+            # blurred = psi (x) k1 — in-core on device (psi NOT donated:
+            # the update step still reads it)
+            blurred = convolve(psi_dev + 0.0, ops1[v])
+            # quotient assembled chunk-wise; each H2D is dispatched async
+            # so chunk i+1's upload overlaps chunk i's divide (the kick)
+            quotient = jnp.empty(shape, jnp.float32)
+            view_v = views[v]
+            for z0, z1 in bounds:
+                chunk = jnp.asarray(np.ascontiguousarray(view_v[z0:z1]))
+                quotient = _quot_chunk(quotient, chunk, blurred, z0)
+            del blurred
+            integral = convolve(quotient, ops2[v])
+            if w_scalars[v] is not None:
+                psi_dev = _update_scalar(
+                    psi_dev, integral, w_scalars[v], lam, min_value
+                )
+            else:
+                w_v = weights[v]
+                for z0, z1 in bounds:
+                    wc = jnp.asarray(np.ascontiguousarray(w_v[z0:z1]))
+                    psi_dev = _update_chunk(
+                        psi_dev, integral, wc, z0, lam, min_value
+                    )
+            del integral
+    return np.asarray(psi_dev)

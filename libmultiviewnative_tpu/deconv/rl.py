@@ -140,15 +140,20 @@ def rl_view_step_fused(
     min_value: float,
     update_fn=_rl_update_jnp,
 ) -> jnp.ndarray:
-    """Update via the fused 3-pass Mosaic DFT-convolve
-    (ops.pallas.fused_dft2) — minimal HBM traffic per convolve.
+    """Update via the FULLY-FUSED Mosaic RL step (ops.pallas.fused_dft2.
+    fused_rl_step_transposed): five device passes per view step; neither
+    the quotient nor the integral volume touches HBM (the reference's
+    compute_quotient/final_values chain runs inside the passes' epilogues,
+    bit-matching core.kernels semantics — the ``elementwise`` option is
+    subsumed by this engine).
 
     OPERATES IN THE TRANSPOSED (Z, X, Y) DOMAIN: psi/view/weights must
     already be transposed (the deconvolve driver transposes once outside
-    the iteration scan; the RL elementwise steps are layout-agnostic) and
-    the kernel spectra must be in the (Kx, Q, M) fused layout."""
+    the iteration scan) and the kernel spectra must be in the fused
+    (Kx, Q, M) pre-permuted layout."""
+    del update_fn  # the update is fused into the final pass
     from ..core import dft as _dft
-    from ..ops.pallas.fused_dft2 import fused_convolve_transposed
+    from ..ops.pallas.fused_dft2 import fused_rl_step_transposed
 
     interp = jax.default_backend() == "cpu"
     # map the library precision to the kernel's modes (Mosaic can't lower
@@ -156,14 +161,10 @@ def rl_view_step_fused(
     prec = (
         "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
     )
-    integral = fused_convolve_transposed(
-        psi, k1_split[0], k1_split[1], interpret=interp, precision=prec
+    return fused_rl_step_transposed(
+        psi, view, weights, k1_split, k2_split, lam, min_value,
+        interpret=interp, precision=prec,
     )
-    integral = view * (1.0 / integral)
-    integral = fused_convolve_transposed(
-        integral, k2_split[0], k2_split[1], interpret=interp, precision=prec
-    )
-    return update_fn(psi, integral, weights, lam, min_value)
 
 
 def prepare_spectra_fused(

@@ -428,6 +428,96 @@ def _pass_c_kernel(
             ) - _dot(bxs, t_im[r], precision)
 
 
+def _pass_cqa_kernel(
+    vre_ref, vim_ref, view_ref,
+    iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,  # y-inverse consts
+    bxc_ref, bxs_ref,  # x-inverse consts
+    fxc_ref, fxs_ref,  # x-forward consts
+    fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
+    ure_ref, uim_ref,
+    *, om_yi, om_yf, precision,
+):
+    """Fused pass C (conv1 inverse) + compute_quotient + pass A (conv2
+    forward) for one z-slab: v1 (Kx, B, M) + view (B, X, Y) -> u2
+    (Kx, B, M).  The quotient volume is NEVER materialized in HBM: the
+    x-inverse, the division, and the x-forward all distribute over the
+    contiguous y column blocks (the x matmuls contract over rows), so
+    everything stays blockwise in VMEM.
+
+    Quotient semantics: view * (1 / blurred) — reciprocal-then-multiply,
+    matching ser::compute_quotient (inc/cpu_kernels.h:20-26); division by
+    zero yields inf, absorbed by the downstream clamp (kernels.py)."""
+    B = view_ref.shape[0]
+    R, M = om_yi.shape[0], iya_ref.shape[0]
+    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    itr, iti = ityr_ref[:], ityi_ref[:]
+    wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
+    ftr, fti = ftyr_ref[:], ftyi_ref[:]
+    bxc, bxs = bxc_ref[:], bxs_ref[:]
+    fxc, fxs = fxc_ref[:], fxs_ref[:]
+    for b in range(B):
+        blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
+        q_re, q_im = [], []
+        for r in range(R):
+            blurred = _dot(bxc, t_re[r], precision) - _dot(bxs, t_im[r], precision)
+            quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
+            q_re.append(_dot(fxc, quot, precision))
+            q_im.append(_dot(fxs, quot, precision))
+        out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
+        for q in range(R):
+            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
+            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q]
+
+
+def _rl_update_block(psi, integral, w, lam: float, min_value: float):
+    """The reference's final_values / regularized_final_values chain on one
+    VMEM block — same expressions as core.kernels (bit-faithful NaN/Inf
+    clamp order, inc/cpu_kernels.h:29-90); lam is trace-static."""
+    value = psi * integral
+    if lam > 0.0:
+        lam_inv = jnp.float32(1.0) / jnp.float32(lam)
+        tik = lam_inv * (jnp.sqrt(1.0 + 2.0 * jnp.float32(lam) * value) - 1.0)
+        value = jnp.where(value > 0.0, tik, min_value)
+    else:
+        value = jnp.where(value > 0.0, value, min_value)
+    nxt = jnp.where(
+        jnp.isnan(value) | jnp.isinf(value),
+        min_value,
+        jnp.maximum(value, min_value),
+    )
+    return w * (nxt - psi) + psi
+
+
+def _pass_cu_kernel(
+    vre_ref, vim_ref, psi_ref, w_ref,
+    iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
+    bxc_ref, bxs_ref, out_ref,
+    *, om_yi, scalar_w: bool, lam: float, min_value: float, precision,
+):
+    """Fused pass C (conv2 inverse) + RL update for one z-slab:
+    v2 (Kx, B, M) + psi/weights slabs -> psi' (B, X, Y).  The integral
+    volume is never materialized in HBM."""
+    B = out_ref.shape[0]
+    R, M = om_yi.shape[0], iya_ref.shape[0]
+    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    itr, iti = ityr_ref[:], ityi_ref[:]
+    bxc, bxs = bxc_ref[:], bxs_ref[:]
+    w_scalar = w_ref[0, 0] if scalar_w else None
+    for b in range(B):
+        blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+        t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
+        for r in range(R):
+            integral = _dot(bxc, t_re[r], precision) - _dot(bxs, t_im[r], precision)
+            psi = psi_ref[b, :, r * M : (r + 1) * M]
+            w = w_scalar if scalar_w else w_ref[b, :, r * M : (r + 1) * M]
+            out_ref[b, :, r * M : (r + 1) * M] = _rl_update_block(
+                psi, integral, w, lam, min_value
+            )
+
+
 def _slab(n_z: int, x: int, y: int) -> int:
     """z-slab size.  Mosaic requires block dims that are not the full
     array extent to be multiples of 8 (sublane) — the (Kx, B, M) output
@@ -498,6 +588,85 @@ def _dense_dft3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return re, im
 
 
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_VMEM = pltpu.VMEM
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=_VMEM)
+
+
+def _check_transposed(xt):
+    if xt.ndim != 3:
+        raise ValueError("fused path operates on single volumes")
+    Z, X, Y = (int(s) for s in xt.shape)
+    if X % 2 or Z % 8 or Y % 8 or X % 8:
+        raise ValueError(
+            f"fused kernel requires even X and Z/Y/X multiples of 8; got "
+            f"ZXY={(Z, X, Y)}"
+        )
+    return Z, X, Y
+
+
+def _run_pass_a(xt, plan, B, interpret, precision):
+    """(Z, X, Y) -> u (Kx, Z, M) split re/im; grid over z-slabs."""
+    Z, Y, X = plan.shape
+    Kx, M, sy = plan.kx, Y, plan.sy
+    return pl.pallas_call(
+        functools.partial(_pass_a_kernel, om_y=sy.omf, precision=precision),
+        grid=(Z // B,),
+        in_specs=[
+            pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
+            _full((Kx, X)),
+            _full((Kx, X)),
+            _full((sy.M, sy.M)),
+            _full((sy.M, sy.M)),
+            _full((sy.M, sy.M)),
+            _full((sy.R, sy.M)),
+            _full((sy.R, sy.M)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
+            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(xt, plan.fxc, plan.fxs, *sy.wf, *sy.twf)
+
+
+def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
+    """z-DFT * K̂ * z-IDFT on (Kx, Z, M); grid over x-frequencies."""
+    Z, Y, X = plan.shape
+    Kx, M, sz = plan.kx, Y, plan.sz
+    blk = lambda: pl.BlockSpec(
+        (1, Z, M), lambda k: (k, 0, 0), memory_space=_VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _pass_b_kernel, om_zf=sz.omf, om_zi=sz.omi, precision=precision
+        ),
+        grid=(Kx,),
+        in_specs=[
+            blk(), blk(), blk(), blk(),
+            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
+            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
+            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
+            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
+        ],
+        out_specs=(blk(), blk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(u_re, u_im, k_re, k_im, *sz.wf, *sz.twf, *sz.wi, *sz.twi)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "precision")
 )
@@ -513,72 +682,19 @@ def fused_convolve_transposed(
     :func:`kernel_spectrum_fused`); returns the transposed convolved
     volume.  The fast path — callers keep volumes transposed across the
     whole RL loop (see deconv.rl algorithm='fused')."""
-    if xt.ndim != 3:
-        raise ValueError("fused path operates on single volumes")
-    Z, X, Y = (int(s) for s in xt.shape)
-    if X % 2 or Z % 8 or Y % 8 or X % 8:
-        raise ValueError(
-            f"fused kernel requires even X and Z/Y/X multiples of 8; got "
-            f"ZXY={(Z, X, Y)}"
-        )
+    Z, X, Y = _check_transposed(xt)
     plan = make_fused_plan((Z, Y, X))
     Kx = plan.kx
     B = _slab(Z, X, Y)
     M = Y
-    sy, sz = plan.sy, plan.sz
+    sy = plan.sy
 
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    vmem = pltpu.VMEM
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=vmem
-    )
+    params = _PARAMS
+    vmem = _VMEM
+    full = _full
 
-    # ---- pass A: grid over z-slabs; (B, X, Y) -> (Kx, B, M)
-    u_re, u_im = pl.pallas_call(
-        functools.partial(_pass_a_kernel, om_y=sy.omf, precision=precision),
-        grid=(Z // B,),
-        in_specs=[
-            pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=vmem),
-            full((Kx, X)),
-            full((Kx, X)),
-            full((sy.M, sy.M)),
-            full((sy.M, sy.M)),
-            full((sy.M, sy.M)),
-            full((sy.R, sy.M)),
-            full((sy.R, sy.M)),
-        ],
-        out_specs=(
-            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
-            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=params,
-    )(xt, plan.fxc, plan.fxs, *sy.wf, *sy.twf)
-
-    # ---- pass B: grid over x-frequencies; clean (1, Z, M) leading blocks
-    blk = lambda: pl.BlockSpec((1, Z, M), lambda k: (k, 0, 0), memory_space=vmem)
-    v_re, v_im = pl.pallas_call(
-        functools.partial(_pass_b_kernel, om_zf=sz.omf, om_zi=sz.omi, precision=precision),
-        grid=(Kx,),
-        in_specs=[
-            blk(), blk(), blk(), blk(),
-            full((sz.M, sz.M)), full((sz.M, sz.M)), full((sz.M, sz.M)),
-            full((sz.R, sz.M)), full((sz.R, sz.M)),
-            full((sz.M, sz.M)), full((sz.M, sz.M)), full((sz.M, sz.M)),
-            full((sz.R, sz.M)), full((sz.R, sz.M)),
-        ],
-        out_specs=(blk(), blk()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=params,
-    )(u_re, u_im, k_re, k_im, *sz.wf, *sz.twf, *sz.wi, *sz.twi)
+    u_re, u_im = _run_pass_a(xt, plan, B, interpret, precision)
+    v_re, v_im = _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision)
 
     # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
     out = pl.pallas_call(
@@ -620,3 +736,113 @@ def fused_convolve_spectrum(
         xt, k_re, k_im, interpret=interpret, precision=precision
     )
     return jnp.transpose(out, (0, 2, 1))
+
+
+def fused_rl_step_transposed(
+    psi_t: jnp.ndarray,
+    view_t: jnp.ndarray,
+    weights,
+    k1: Tuple[jnp.ndarray, jnp.ndarray],
+    k2: Tuple[jnp.ndarray, jnp.ndarray],
+    lam: float,
+    min_value: float,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """One FULLY-FUSED RL view step on (Z, X, Y)-transposed volumes:
+
+        A(psi) -> B(*K̂1) -> [C + quotient + A] -> B(*K̂2) -> [C + update]
+
+    Five device passes instead of 6 passes + 2 XLA elementwise sweeps —
+    neither the quotient nor the integral volume ever touches HBM (the
+    epilogues distribute over contiguous y column blocks).  Reference
+    step contract: src/multiviewnative.cpp:191-228.
+
+    ``weights`` is a scalar (0-d/1-element array: uniform blending) or a
+    (Z, X, Y)-transposed per-voxel stack.  ``lam``/``min_value`` are
+    trace-static Python floats.
+    """
+    Z, X, Y = _check_transposed(psi_t)
+    plan = make_fused_plan((Z, Y, X))
+    Kx = plan.kx
+    B = _slab(Z, X, Y)
+    M = Y
+    sy = plan.sy
+
+    u_re, u_im = _run_pass_a(psi_t, plan, B, interpret, precision)
+    v_re, v_im = _run_pass_b(u_re, u_im, k1[0], k1[1], plan, interpret, precision)
+
+    slab = lambda: pl.BlockSpec(
+        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+    )
+    kxblk = lambda: pl.BlockSpec(
+        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
+    )
+    y_inv = [
+        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
+        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
+    ]
+    y_fwd = [
+        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
+        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
+    ]
+
+    # ---- fused C + quotient + A
+    u_re, u_im = pl.pallas_call(
+        functools.partial(
+            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf, precision=precision
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab()]
+            + y_inv
+            + [_full((X, Kx)), _full((X, Kx))]
+            + [_full((Kx, X)), _full((Kx, X))]
+            + y_fwd
+        ),
+        out_specs=(kxblk(), kxblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, view_t,
+        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
+        plan.fxc, plan.fxs, *sy.wf, *sy.twf,
+    )
+
+    v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
+
+    # ---- fused C + RL update
+    w = jnp.asarray(weights, jnp.float32)
+    scalar_w = w.ndim < 3
+    if scalar_w:
+        w_arr = jnp.reshape(w, (1, 1))
+        w_spec = _full((1, 1))
+    else:
+        w_arr = w
+        w_spec = slab()
+    psi_new = pl.pallas_call(
+        functools.partial(
+            _pass_cu_kernel, om_yi=sy.omi, scalar_w=scalar_w,
+            lam=float(lam), min_value=float(min_value), precision=precision,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab(), w_spec]
+            + y_inv
+            + [_full((X, Kx)), _full((X, Kx))]
+        ),
+        out_specs=pl.BlockSpec(
+            (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, psi_t, w_arr,
+        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
+    )
+    return psi_new

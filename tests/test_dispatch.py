@@ -299,3 +299,40 @@ def test_auto_fused_request_falls_back_off_incore(rng, monkeypatch):
         )
     ref = deconvolve_jit(psi0, data, num_iterations=2, algorithm="fft")
     assert rms(np.asarray(out), np.asarray(ref)) < 1e-4
+
+
+def test_auto_interleaved_rung_matches(rng, monkeypatch):
+    """Capacity between the interleaved estimate and the in-core estimate
+    selects the interleaved rung (psi on device, views streamed), which
+    must match the in-core sequential result."""
+    from libmultiviewnative_tpu.deconv.dispatch import (
+        estimate_interleaved_bytes,
+    )
+    import libmultiviewnative_tpu.deconv.interleaved as il
+
+    data = _data(rng)
+    psi0 = jnp.full(data.spatial_shape, 100.0, jnp.float32)
+    est_il = estimate_interleaved_bytes(data, "fft")
+    est_ic = estimate_workspace_bytes(data, "fft")
+    assert est_il < est_ic
+    cap = (est_il + est_ic) // 2
+
+    called = {}
+    orig = il.deconvolve_interleaved
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(il, "deconvolve_interleaved", spy)
+    monkeypatch.setattr(
+        "libmultiviewnative_tpu.deconv.dispatch.device_capacity_bytes",
+        lambda device=None: int(cap / 0.9) + 1,
+    )
+    monkeypatch.setattr("jax.device_count", lambda: 1)
+    out = deconvolve_auto(
+        psi0, data, num_iterations=2, algorithm="fft", chunk_z=8
+    )
+    assert called.get("yes")
+    ref = deconvolve_jit(psi0, data, num_iterations=2, algorithm="fft")
+    assert rms(np.asarray(out), np.asarray(ref)) < 1e-4
