@@ -360,10 +360,17 @@ def deconvolve(
     # Unrolling the iteration scan removes a measured ~3.3 ms/iter of
     # while-loop overhead at 4-view 256^3 on v5e (the loop is a scheduling
     # barrier: XLA cannot overlap work across iterations, and the carry
-    # round-trips through the loop buffer each step).  num_iterations is
-    # already trace-static; cap the unroll so large iteration counts keep
-    # bounded program size (the barrier cost amortizes 1/unroll).
-    unroll = min(int(num_iterations), 8)
+    # round-trips through the loop buffer each step).  This matters for
+    # the fused engine, whose body is a chain of custom calls XLA cannot
+    # otherwise reorganize; for the fft/dft engines the plain scan
+    # measured FASTER (unroll=8 cost the dft engine ~7 it/s at 256^3 —
+    # XLA optimizes the looped einsum body better than the unrolled one).
+    # num_iterations is trace-static; cap the unroll so large iteration
+    # counts keep bounded program size (barrier cost amortizes 1/unroll).
+    # (measured: unroll=8 beats full unroll at 10 iters — 74.0 vs 69.4
+    # it/s at the 256^3 headline; the fully-flat 200-custom-call program
+    # schedules worse than 8-iteration blocks.)
+    unroll = min(int(num_iterations), 8) if algorithm == "fused" else 1
 
     if track_convergence:
 
