@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Out-of-core (streamed) deconvolution benchmark.
+"""Out-of-core deconvolution benchmark (both streaming rungs).
 
-The rung the reference benchmarks as its interleaved mode
-(bench/bench_gpu_deconvolve_synthetic.cu --mode interleaved): the volume
-lives in HOST memory and flows through the device in Z-chunks with the
-bounded in-flight pipeline (deconv/streamed.py).  Emits the standard
-logging row plus iterations/s.
+The reference benchmarks its out-of-core strategy as the interleaved
+mode (bench/bench_gpu_deconvolve_synthetic.cu --mode interleaved).  The
+TPU build has two rungs below in-core, both measured here:
+
+  --mode interleaved  psi device-resident, only views/weights stream in
+                      z-chunks (deconv/interleaved.py — the reference
+                      design point: ~V*S host->device bytes/iteration);
+  --mode streamed     psi itself chunked through the device with the
+                      bounded in-flight pipeline (deconv/streamed.py —
+                      psi > HBM territory; ~(5V+2)*S bytes/iteration).
+
+Emits the standard logging row plus iterations/s.
 
     python benchmarks/bench_streamed.py -s 512x512x512 --views 4 \
-        --iterations 2 --chunk-z 64
+        --iterations 2 --chunk-z 64 --mode interleaved
 """
 
 import os
@@ -30,11 +37,17 @@ def main():
                    help="int or 'auto' (engine-friendly extended extent)")
     p.add_argument("--algorithm", default="auto",
                    choices=["fft", "dft", "direct", "auto"])
+    p.add_argument("--mode", default="streamed",
+                   choices=["streamed", "interleaved"])
+    p.add_argument("--scalar-weights", action="store_true",
+                   help="uniform 1/V scalar weights (interleaved rung "
+                        "streams nothing for them)")
     args = p.parse_args()
     if args.chunk_z != "auto":
         args.chunk_z = int(args.chunk_z)
     setup_platform(args.platform)
 
+    from libmultiviewnative_tpu.deconv.interleaved import deconvolve_interleaved
     from libmultiviewnative_tpu.deconv.streamed import deconvolve_streamed
     from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
@@ -46,27 +59,40 @@ def main():
     ]
     k1s = [gaussian_kernel((21, 21, 21), 2.0 + 0.5 * v) for v in range(V)]
     k2s = [np.flip(k).copy() for k in k1s]
-    ws = [np.full((Z, Y, X), 1.0 / V, np.float32) for _ in range(V)]
+    if args.scalar_weights:
+        ws = [np.float32(1.0 / V) for _ in range(V)]
+    else:
+        ws = [np.full((Z, Y, X), 1.0 / V, np.float32) for _ in range(V)]
     psi0 = np.full((Z, Y, X), float(np.mean(views[0])), np.float32)
 
+    if args.mode == "interleaved":
+        chunk = 64 if args.chunk_z == "auto" else args.chunk_z
+
+        def run(iters):
+            return deconvolve_interleaved(
+                psi0, views, k1s, k2s, ws, iters, lam=0.006,
+                chunk_z=chunk, algorithm=args.algorithm,
+            )
+    else:
+
+        def run(iters):
+            return deconvolve_streamed(
+                psi0, views, k1s, k2s, ws, iters, lam=0.006,
+                chunk_z=args.chunk_z, algorithm=args.algorithm,
+            )
+
     # warmup (compiles every chunk program)
-    deconvolve_streamed(
-        psi0, views, k1s, k2s, ws, 1, lam=0.006, chunk_z=args.chunk_z,
-        algorithm=args.algorithm,
-    )
+    run(1)
     t0 = time.perf_counter()
-    deconvolve_streamed(
-        psi0, views, k1s, k2s, ws, args.iterations, lam=0.006,
-        chunk_z=args.chunk_z, algorithm=args.algorithm,
-    )
+    run(args.iterations)
     dt = time.perf_counter() - t0
     total_ms = 1e3 * dt
     emit_row(
         args.iterations, total_ms, (Z, Y, X),
-        f"streamed_rl_{V}view_chunk{args.chunk_z}_{args.algorithm}",
+        f"{args.mode}_rl_{V}view_chunk{args.chunk_z}_{args.algorithm}",
     )
     print(
-        f"streamed: {args.iterations / dt:.3f} iterations/s "
+        f"{args.mode}: {args.iterations / dt:.3f} iterations/s "
         f"({total_ms / args.iterations:.1f} ms/iter)"
     )
 
