@@ -55,12 +55,15 @@ from ..core.wrap import wrap_kernel
 def _resolve_engine(algorithm: str, spatial_shape) -> str:
     if algorithm == "auto":
         # full-volume convolves: same crossover as the in-core engines
-        # (the fused engine's transposed-layout flow is in-core-only)
+        from .rl import fused_eligible
+
+        if max(spatial_shape) >= 256 and fused_eligible(spatial_shape):
+            return "fused"
         return "dft" if max(spatial_shape) <= 256 else "fft"
-    if algorithm not in ("fft", "dft"):
+    if algorithm not in ("fft", "dft", "fused"):
         raise ValueError(
-            f"interleaved rung supports algorithm 'fft'|'dft'|'auto', "
-            f"got {algorithm!r}"
+            f"interleaved rung supports algorithm 'fft'|'dft'|'fused'|"
+            f"'auto', got {algorithm!r}"
         )
     return algorithm
 
@@ -73,6 +76,19 @@ def _convolve_fft(x, k_hat):
 @partial(jax.jit, donate_argnums=(0,))
 def _convolve_dft(x, k_re, k_im):
     return dft_convolve_spectrum(x, k_re, k_im)
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision"), donate_argnums=(0,))
+def _convolve_fused(x, k_re, k_im, interpret: bool, precision: str):
+    # device-side transposes (HBM copies, sub-ms) around the Mosaic
+    # engine — worth it at >=256-class where it runs ~3.5x the fft engine
+    from ..ops.pallas.fused_dft2 import fused_convolve_transposed
+
+    xt = jnp.transpose(x, (0, 2, 1))
+    out = fused_convolve_transposed(
+        xt, k_re, k_im, interpret=interpret, precision=precision
+    )
+    return jnp.transpose(out, (0, 2, 1))
 
 
 @partial(jax.jit, static_argnames=("z0",), donate_argnums=(0,))
@@ -137,6 +153,19 @@ def deconvolve_interleaved(
         k2h = [rfft3(wrap_kernel(jnp.asarray(k, jnp.float32), shape)) for k in kernels2]
         convolve = lambda x, op: _convolve_fft(x, *op)
         ops1, ops2 = [(h,) for h in k1h], [(h,) for h in k2h]
+    elif engine == "fused":
+        from ..core import dft as _dft
+        from ..ops.pallas.fused_dft2 import kernel_spectrum_fused
+
+        interp = jax.default_backend() == "cpu"
+        prec = (
+            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+        )
+        ops1 = [kernel_spectrum_fused(jnp.asarray(k, jnp.float32), shape) for k in kernels1]
+        ops2 = [kernel_spectrum_fused(jnp.asarray(k, jnp.float32), shape) for k in kernels2]
+        convolve = lambda x, op: _convolve_fused(
+            x, *op, interpret=interp, precision=prec
+        )
     else:
         ops1 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels1]
         ops2 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels2]

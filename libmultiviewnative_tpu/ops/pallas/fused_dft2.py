@@ -518,55 +518,6 @@ def _pass_cu_kernel(
             )
 
 
-def _pass_cua_kernel(
-    vre_ref, vim_ref, psi_ref, w_ref,
-    iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,  # y-inverse consts
-    bxc_ref, bxs_ref,  # x-inverse consts
-    fxc_ref, fxs_ref,  # x-forward consts
-    fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
-    out_ref, ure_ref, uim_ref,
-    *, om_yi, om_yf, scalar_w: bool, lam: float, min_value: float, precision,
-):
-    """Fused pass C (conv2 inverse) + RL update + pass A (NEXT view's
-    forward) for one z-slab: v2 (Kx, B, M) + psi/weights slabs ->
-    (psi' (B, X, Y), u' = A(psi') (Kx, B, M)).
-
-    The carried-transform form of _pass_cu_kernel: psi' is still written
-    spatially (it is the update input of the next view step and the
-    deconvolve result), but its forward transform is produced HERE, while
-    the fresh block is in VMEM — the per-view standalone pass A (re-read
-    psi + transform) disappears from the steady-state chain, which then
-    runs 4 passes per view step instead of 5 (the reference's analog is
-    keeping psi device-resident across the view loop,
-    src/gpu_deconvolve_methods.cuh:487-535)."""
-    B = out_ref.shape[0]
-    R, M = om_yi.shape[0], iya_ref.shape[0]
-    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
-    itr, iti = ityr_ref[:], ityi_ref[:]
-    wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
-    ftr, fti = ftyr_ref[:], ftyi_ref[:]
-    bxc, bxs = bxc_ref[:], bxs_ref[:]
-    fxc, fxs = fxc_ref[:], fxs_ref[:]
-    w_scalar = w_ref[0, 0] if scalar_w else None
-    for b in range(B):
-        blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-        q_re, q_im = [], []
-        for r in range(R):
-            integral = _dot(bxc, t_re[r], precision) - _dot(bxs, t_im[r], precision)
-            psi = psi_ref[b, :, r * M : (r + 1) * M]
-            w = w_scalar if scalar_w else w_ref[b, :, r * M : (r + 1) * M]
-            new = _rl_update_block(psi, integral, w, lam, min_value)
-            out_ref[b, :, r * M : (r + 1) * M] = new
-            q_re.append(_dot(fxc, new, precision))
-            q_im.append(_dot(fxs, new, precision))
-        out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
-        for q in range(R):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q]
-
-
 def _slab(n_z: int, x: int, y: int) -> int:
     """z-slab size.  Mosaic requires block dims that are not the full
     array extent to be multiples of 8 (sublane) — the (Kx, B, M) output
@@ -909,127 +860,3 @@ def fused_rl_step_transposed(
     )
     return psi_new
 
-
-def forward_psi_transposed(
-    psi_t: jnp.ndarray, interpret: bool = False, precision: str = "highest"
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pass A on a (Z, X, Y)-transposed volume: the carried-transform
-    bootstrap (run ONCE per deconvolve call; fused_rl_step_carried keeps
-    the transform flowing thereafter)."""
-    Z, X, Y = _check_transposed(psi_t)
-    plan = make_fused_plan((Z, Y, X))
-    return _run_pass_a(psi_t, plan, _slab(Z, X, Y), interpret, precision)
-
-
-def fused_rl_step_carried(
-    psi_t: jnp.ndarray,
-    u_re: jnp.ndarray,
-    u_im: jnp.ndarray,
-    view_t: jnp.ndarray,
-    weights,
-    k1: Tuple[jnp.ndarray, jnp.ndarray],
-    k2: Tuple[jnp.ndarray, jnp.ndarray],
-    lam: float,
-    min_value: float,
-    interpret: bool = False,
-    precision: str = "highest",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Carried-transform RL view step: FOUR passes instead of five.
-
-        (psi, u=A(psi)) -> B(*K̂1) -> [C + quotient + A] -> B(*K̂2)
-                        -> [C + update + A] -> (psi', u'=A(psi'))
-
-    Identical math (and op order — bitwise-identical results) to
-    fused_rl_step_transposed, but psi's forward transform is produced by
-    the update pass itself while the fresh block is still in VMEM, so the
-    standalone pass A (psi re-read + transform) runs only once per
-    deconvolve call (forward_psi_transposed) instead of once per view
-    step.  Reference step contract: src/multiviewnative.cpp:191-228."""
-    Z, X, Y = _check_transposed(psi_t)
-    plan = make_fused_plan((Z, Y, X))
-    Kx = plan.kx
-    B = _slab(Z, X, Y)
-    M = Y
-    sy = plan.sy
-
-    v_re, v_im = _run_pass_b(u_re, u_im, k1[0], k1[1], plan, interpret, precision)
-
-    slab = lambda: pl.BlockSpec(
-        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
-    )
-    kxblk = lambda: pl.BlockSpec(
-        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
-    )
-    y_inv = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-    y_fwd = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-
-    # ---- fused C + quotient + A
-    u_re, u_im = pl.pallas_call(
-        functools.partial(
-            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf, precision=precision
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab()]
-            + y_inv
-            + [_full((X, Kx)), _full((X, Kx))]
-            + [_full((Kx, X)), _full((Kx, X))]
-            + y_fwd
-        ),
-        out_specs=(kxblk(), kxblk()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, view_t,
-        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
-        plan.fxc, plan.fxs, *sy.wf, *sy.twf,
-    )
-
-    v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
-
-    # ---- fused C + RL update + A(psi')
-    w = jnp.asarray(weights, jnp.float32)
-    scalar_w = w.ndim < 3
-    if scalar_w:
-        w_arr = jnp.reshape(w, (1, 1))
-        w_spec = _full((1, 1))
-    else:
-        w_arr = w
-        w_spec = slab()
-    psi_new, u_re, u_im = pl.pallas_call(
-        functools.partial(
-            _pass_cua_kernel, om_yi=sy.omi, om_yf=sy.omf, scalar_w=scalar_w,
-            lam=float(lam), min_value=float(min_value), precision=precision,
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab(), w_spec]
-            + y_inv
-            + [_full((X, Kx)), _full((X, Kx))]
-            + [_full((Kx, X)), _full((Kx, X))]
-            + y_fwd
-        ),
-        out_specs=(slab(), kxblk(), kxblk()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
-        plan.fxc, plan.fxs, *sy.wf, *sy.twf,
-    )
-    return psi_new, u_re, u_im

@@ -42,7 +42,7 @@ def _incore(psi0, views, k1, k2, ws, shape, iters, lam, algorithm):
     )
 
 
-@pytest.mark.parametrize("engine", ["fft", "dft"])
+@pytest.mark.parametrize("engine", ["fft", "dft", "fused"])
 @pytest.mark.parametrize("lam", [0.0, 0.006])
 def test_interleaved_matches_incore(problem, engine, lam):
     psi0, views, k1, k2, ws, shape = problem
