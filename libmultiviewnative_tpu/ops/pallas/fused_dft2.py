@@ -106,19 +106,30 @@ class SplitSpec(NamedTuple):
 
 
 class FusedPlan(NamedTuple):
-    """Constant stage matrices, pre-oriented for the v2 layout."""
+    """Constant stage matrices, pre-oriented for the v2 layout.
 
-    fxc: jnp.ndarray  # (Kx, X)  forward x cos
-    fxs: jnp.ndarray  # (Kx, X)  forward x -sin
+    The x-stage matrices are PACKED re/im pairs: with Kx = X/2+1 (129 at
+    X=256) a lone (Kx, X) matmul spans ceil(129/128)=2 MXU row-tiles at
+    ~50% average utilization.  Packing cos and -sin into one matrix —
+    rows [0:Kx] = cos, rows [Kxp:Kxp+Kx] = -sin, Kxp = Kx rounded up to
+    the 8-sublane boundary — turns the two half-empty products into one
+    (2*Kxp, X) product spanning 3 row-tiles instead of 4 (and the inverse
+    into one 3-contraction-tile product instead of 4): 25% fewer MXU
+    passes on every x stage.  The padding rows/columns are zero, so the
+    packed inverse ignores whatever sits in the pad rows of its stacked
+    input."""
+
+    fxp: jnp.ndarray  # (2*Kxp, X) packed forward x: [cos; pad; -sin; pad]
     sy: SplitSpec  # y stage (right-mult)
     sz: SplitSpec  # z stage (left-mult)
-    bxc: jnp.ndarray  # (X, Kx)  inverse x, hermitian-weighted cos / X
-    bxs: jnp.ndarray  # (X, Kx)  inverse x, hermitian-weighted sin / X
+    bxp: jnp.ndarray  # (X, 2*Kxp) packed inverse x: [w*cos/X | pad | -w*sin/X | pad]
     shape: Tuple[int, int, int]  # (Z, Y, X)
+    kxh: int  # Kx = X//2 + 1 (hermitian half)
+    kxp: int  # Kx rounded up to a multiple of 8
 
     @property
     def kx(self) -> int:
-        return self.fxc.shape[0]
+        return self.kxh
 
 
 def _triple(a: np.ndarray, b: np.ndarray):
@@ -174,16 +185,24 @@ def make_fused_plan(
     if X % 2 == 0:
         w[-1] = 1.0
 
+    kxp = -(-kx // 8) * 8  # 8-sublane-aligned pack stride
+    fxp = np.zeros((2 * kxp, X), np.float32)
+    fxp[:kx] = np.cos(tx)
+    fxp[kxp : kxp + kx] = -np.sin(tx)
+    bxp = np.zeros((X, 2 * kxp), np.float32)
+    bxp[:, :kx] = (w[None, :] * np.cos(tx).T) / X
+    bxp[:, kxp : kxp + kx] = -(w[None, :] * np.sin(tx).T) / X
+
     with jax.ensure_compile_time_eval():
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return FusedPlan(
-            fxc=f32(np.cos(tx)),
-            fxs=f32(-np.sin(tx)),
+            fxp=f32(fxp),
             sy=_make_split(Y, splits[1]),
             sz=_make_split(Z, splits[0]),
-            bxc=f32((w[None, :] * np.cos(tx).T) / X),
-            bxs=f32((w[None, :] * np.sin(tx).T) / X),
+            bxp=f32(bxp),
             shape=(Z, Y, X),
+            kxh=kx,
+            kxp=kxp,
         )
 
 
@@ -351,20 +370,42 @@ def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 # ---------------------------------------------------------------------------
 
 
+def _fwd_x(fxp, p, kx: int, kxp: int, precision):
+    """Packed x-rfft of a real plane: one (2*Kxp, X) @ (X, Y) product
+    instead of separate cos/sin matmuls (25% fewer MXU row-tile passes at
+    Kx = 128+1-class sizes); unpack at the 8-aligned row offsets."""
+    t = _dot(fxp, p, precision)
+    return t[:kx], t[kxp : kxp + kx]
+
+
+def _inv_x(bxp, t_re, t_im, kxp: int, precision):
+    """Packed hermitian x-irfft: stack re over im at the 8-aligned pack
+    stride and contract once against (X, 2*Kxp) — 3 contraction tiles
+    instead of 4.  bxp's pad columns are zero, so the pad rows of the
+    stacked operand are don't-cares (zero-filled here)."""
+    kx = t_re.shape[0]
+    pad = kxp - kx
+    if pad:
+        z = jnp.zeros((pad, t_re.shape[1]), t_re.dtype)
+        stacked = jnp.concatenate([t_re, z, t_im, z], axis=0)
+    else:
+        stacked = jnp.concatenate([t_re, t_im], axis=0)
+    return _dot(bxp, stacked, precision)
+
+
 def _pass_a_kernel(
-    x_ref, fxc_ref, fxs_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    ure_ref, uim_ref, *, om_y, precision,
+    x_ref, fxp_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
+    ure_ref, uim_ref, *, om_y, kx, kxp, precision,
 ):
     """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kx, B, M)."""
     B = x_ref.shape[0]
     R, M = om_y.shape[0], wya_ref.shape[0]
-    fxc, fxs = fxc_ref[:], fxs_ref[:]
+    fxp = fxp_ref[:]
     wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
     for b in range(B):
         p = x_ref[b]  # (X, Y)
-        t_re = _dot(fxc, p, precision)  # (Kx, Y)
-        t_im = _dot(fxs, p, precision)
+        t_re, t_im = _fwd_x(fxp, p, kx, kxp, precision)  # (Kx, Y)
         blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
         blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
         out_re, out_im = _fwd_split_right(
@@ -406,7 +447,7 @@ def _pass_b_kernel(
 
 def _pass_c_kernel(
     ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    bxc_ref, bxs_ref, out_ref, *, om_yi, precision,
+    bxp_ref, out_ref, *, om_yi, kxp, precision,
 ):
     """split y-inverse + hermitian x-irfft for one z-slab.
     u (Kx, B, M) -> out (B, X, Y)."""
@@ -414,7 +455,7 @@ def _pass_c_kernel(
     R, M = om_yi.shape[0], wya_ref.shape[0]
     wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
-    bxc, bxs = bxc_ref[:], bxs_ref[:]
+    bxp = bxp_ref[:]
     for b in range(B):
         blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
@@ -423,19 +464,19 @@ def _pass_c_kernel(
         )
         for r in range(R):
             # out = Re[ Bx @ t ], applied per contiguous column block
-            out_ref[b, :, r * M : (r + 1) * M] = _dot(
-                bxc, t_re[r], precision
-            ) - _dot(bxs, t_im[r], precision)
+            out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
+                bxp, t_re[r], t_im[r], kxp, precision
+            )
 
 
 def _pass_cqa_kernel(
     vre_ref, vim_ref, view_ref,
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,  # y-inverse consts
-    bxc_ref, bxs_ref,  # x-inverse consts
-    fxc_ref, fxs_ref,  # x-forward consts
+    bxp_ref,  # packed x-inverse consts
+    fxp_ref,  # packed x-forward consts
     fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
     ure_ref, uim_ref,
-    *, om_yi, om_yf, precision,
+    *, om_yi, om_yf, kx, kxp, precision,
 ):
     """Fused pass C (conv1 inverse) + compute_quotient + pass A (conv2
     forward) for one z-slab: v1 (Kx, B, M) + view (B, X, Y) -> u2
@@ -453,18 +494,18 @@ def _pass_cqa_kernel(
     itr, iti = ityr_ref[:], ityi_ref[:]
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
-    bxc, bxs = bxc_ref[:], bxs_ref[:]
-    fxc, fxs = fxc_ref[:], fxs_ref[:]
+    bxp, fxp = bxp_ref[:], fxp_ref[:]
     for b in range(B):
         blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
         q_re, q_im = [], []
         for r in range(R):
-            blurred = _dot(bxc, t_re[r], precision) - _dot(bxs, t_im[r], precision)
+            blurred = _inv_x(bxp, t_re[r], t_im[r], kxp, precision)
             quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
-            q_re.append(_dot(fxc, quot, precision))
-            q_im.append(_dot(fxs, quot, precision))
+            f_re, f_im = _fwd_x(fxp, quot, kx, kxp, precision)
+            q_re.append(f_re)
+            q_im.append(f_im)
         out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
         for q in range(R):
             ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
@@ -493,8 +534,8 @@ def _rl_update_block(psi, integral, w, lam: float, min_value: float):
 def _pass_cu_kernel(
     vre_ref, vim_ref, psi_ref, w_ref,
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
-    bxc_ref, bxs_ref, out_ref,
-    *, om_yi, scalar_w: bool, lam: float, min_value: float, precision,
+    bxp_ref, out_ref,
+    *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float, precision,
 ):
     """Fused pass C (conv2 inverse) + RL update for one z-slab:
     v2 (Kx, B, M) + psi/weights slabs -> psi' (B, X, Y).  The integral
@@ -503,14 +544,14 @@ def _pass_cu_kernel(
     R, M = om_yi.shape[0], iya_ref.shape[0]
     wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
     itr, iti = ityr_ref[:], ityi_ref[:]
-    bxc, bxs = bxc_ref[:], bxs_ref[:]
+    bxp = bxp_ref[:]
     w_scalar = w_ref[0, 0] if scalar_w else None
     for b in range(B):
         blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
         for r in range(R):
-            integral = _dot(bxc, t_re[r], precision) - _dot(bxs, t_im[r], precision)
+            integral = _inv_x(bxp, t_re[r], t_im[r], kxp, precision)
             psi = psi_ref[b, :, r * M : (r + 1) * M]
             w = w_scalar if scalar_w else w_ref[b, :, r * M : (r + 1) * M]
             out_ref[b, :, r * M : (r + 1) * M] = _rl_update_block(
@@ -626,12 +667,14 @@ def _run_pass_a(xt, plan, B, interpret, precision):
     Z, Y, X = plan.shape
     Kx, M, sy = plan.kx, Y, plan.sy
     return pl.pallas_call(
-        functools.partial(_pass_a_kernel, om_y=sy.omf, precision=precision),
+        functools.partial(
+            _pass_a_kernel, om_y=sy.omf, kx=Kx, kxp=plan.kxp,
+            precision=precision,
+        ),
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
-            _full((Kx, X)),
-            _full((Kx, X)),
+            _full((2 * plan.kxp, X)),
             _full((sy.M, sy.M)),
             _full((sy.M, sy.M)),
             _full((sy.M, sy.M)),
@@ -648,7 +691,7 @@ def _run_pass_a(xt, plan, B, interpret, precision):
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
-    )(xt, plan.fxc, plan.fxs, *sy.wf, *sy.twf)
+    )(xt, plan.fxp, *sy.wf, *sy.twf)
 
 
 def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
@@ -711,7 +754,9 @@ def fused_convolve_transposed(
 
     # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
     out = pl.pallas_call(
-        functools.partial(_pass_c_kernel, om_yi=sy.omi, precision=precision),
+        functools.partial(
+            _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp, precision=precision
+        ),
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
@@ -721,8 +766,7 @@ def fused_convolve_transposed(
             full((sy.M, sy.M)),
             full((sy.R, sy.M)),
             full((sy.R, sy.M)),
-            full((X, Kx)),
-            full((X, Kx)),
+            full((X, 2 * plan.kxp)),
         ],
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=vmem
@@ -730,7 +774,7 @@ def fused_convolve_transposed(
         out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
         interpret=interpret,
         compiler_params=params,
-    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxc, plan.bxs)
+    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxp)
     return out
 
 
@@ -803,14 +847,15 @@ def fused_rl_step_transposed(
     # ---- fused C + quotient + A
     u_re, u_im = pl.pallas_call(
         functools.partial(
-            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf, precision=precision
+            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
+            kx=Kx, kxp=plan.kxp, precision=precision,
         ),
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab()]
             + y_inv
-            + [_full((X, Kx)), _full((X, Kx))]
-            + [_full((Kx, X)), _full((Kx, X))]
+            + [_full((X, 2 * plan.kxp))]
+            + [_full((2 * plan.kxp, X))]
             + y_fwd
         ),
         out_specs=(kxblk(), kxblk()),
@@ -822,8 +867,8 @@ def fused_rl_step_transposed(
         compiler_params=_PARAMS,
     )(
         v_re, v_im, view_t,
-        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
-        plan.fxc, plan.fxs, *sy.wf, *sy.twf,
+        *sy.wi, *sy.twi, plan.bxp,
+        plan.fxp, *sy.wf, *sy.twf,
     )
 
     v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
@@ -839,14 +884,14 @@ def fused_rl_step_transposed(
         w_spec = slab()
     psi_new = pl.pallas_call(
         functools.partial(
-            _pass_cu_kernel, om_yi=sy.omi, scalar_w=scalar_w,
+            _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
         ),
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab(), w_spec]
             + y_inv
-            + [_full((X, Kx)), _full((X, Kx))]
+            + [_full((X, 2 * plan.kxp))]
         ),
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
@@ -856,7 +901,7 @@ def fused_rl_step_transposed(
         compiler_params=_PARAMS,
     )(
         v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxc, plan.bxs,
+        *sy.wi, *sy.twi, plan.bxp,
     )
     return psi_new
 
