@@ -370,32 +370,26 @@ def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_x(fxp, p, kx: int, kxp: int, precision):
+def _fwd_x(fxp, p, kxp: int, precision):
     """Packed x-rfft of a real plane: one (2*Kxp, X) @ (X, Y) product
     instead of separate cos/sin matmuls (25% fewer MXU row-tile passes at
-    Kx = 128+1-class sizes); unpack at the 8-aligned row offsets."""
+    Kx = 128+1-class sizes).  Returns ALIGNED (Kxp, Y) halves — pad rows
+    (fxp rows Kx..Kxp) are zero and stay zero through the pipeline."""
     t = _dot(fxp, p, precision)
-    return t[:kx], t[kxp : kxp + kx]
+    return t[:kxp], t[kxp:]
 
 
-def _inv_x(bxp, t_re, t_im, kxp: int, precision):
-    """Packed hermitian x-irfft: stack re over im at the 8-aligned pack
-    stride and contract once against (X, 2*Kxp) — 3 contraction tiles
+def _inv_x(bxp, t_re, t_im, precision):
+    """Packed hermitian x-irfft: stack the (Kxp, M) halves — an aligned
+    concat — and contract once against (X, 2*Kxp): 3 contraction tiles
     instead of 4.  bxp's pad columns are zero, so the pad rows of the
-    stacked operand are don't-cares (zero-filled here)."""
-    kx = t_re.shape[0]
-    pad = kxp - kx
-    if pad:
-        z = jnp.zeros((pad, t_re.shape[1]), t_re.dtype)
-        stacked = jnp.concatenate([t_re, z, t_im, z], axis=0)
-    else:
-        stacked = jnp.concatenate([t_re, t_im], axis=0)
-    return _dot(bxp, stacked, precision)
+    stacked operand are don't-cares."""
+    return _dot(bxp, jnp.concatenate([t_re, t_im], axis=0), precision)
 
 
 def _pass_a_kernel(
     x_ref, fxp_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    ure_ref, uim_ref, *, om_y, kx, kxp, precision,
+    ure_ref, uim_ref, *, om_y, kxp, precision,
 ):
     """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kx, B, M)."""
     B = x_ref.shape[0]
@@ -405,7 +399,7 @@ def _pass_a_kernel(
     twr, twi = twyr_ref[:], twyi_ref[:]
     for b in range(B):
         p = x_ref[b]  # (X, Y)
-        t_re, t_im = _fwd_x(fxp, p, kx, kxp, precision)  # (Kx, Y)
+        t_re, t_im = _fwd_x(fxp, p, kxp, precision)  # (Kxp, Y)
         blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
         blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
         out_re, out_im = _fwd_split_right(
@@ -445,9 +439,30 @@ def _pass_b_kernel(
         oim_ref[0, r * M : (r + 1) * M, :] = w_im[r]
 
 
+def _pass_bf_kernel(
+    ure_ref, uim_ref,
+    fza_ref, fzb_ref, fzab_ref, ftzr_ref, ftzi_ref,
+    ore_ref, oim_ref, *, om_zf, precision,
+):
+    """Forward half of pass B only (split z-DFT, no multiply/inverse) for
+    one x-frequency slice — used to FORWARD KERNEL SPECTRA with the same
+    split-stage pipeline the convolve runs (kernel_spectrum_fused): the
+    output lands in exactly the interleaved (z, y) frequency order the
+    spectral multiply consumes, so no permutation is ever materialized."""
+    R, M = om_zf.shape[0], fza_ref.shape[0]
+    wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
+    ftr, fti = ftzr_ref[:], ftzi_ref[:]
+    blk_re = [ure_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    blk_im = [uim_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    v_re, v_im = _fwd_split_left(blk_re, blk_im, wf, ftr, fti, om_zf, precision)
+    for q in range(R):
+        ore_ref[0, q * M : (q + 1) * M, :] = v_re[q]
+        oim_ref[0, q * M : (q + 1) * M, :] = v_im[q]
+
+
 def _pass_c_kernel(
     ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    bxp_ref, out_ref, *, om_yi, kxp, precision,
+    bxp_ref, out_ref, *, om_yi, precision,
 ):
     """split y-inverse + hermitian x-irfft for one z-slab.
     u (Kx, B, M) -> out (B, X, Y)."""
@@ -465,7 +480,7 @@ def _pass_c_kernel(
         for r in range(R):
             # out = Re[ Bx @ t ], applied per contiguous column block
             out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
-                bxp, t_re[r], t_im[r], kxp, precision
+                bxp, t_re[r], t_im[r], precision
             )
 
 
@@ -476,7 +491,7 @@ def _pass_cqa_kernel(
     fxp_ref,  # packed x-forward consts
     fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
     ure_ref, uim_ref,
-    *, om_yi, om_yf, kx, kxp, precision,
+    *, om_yi, om_yf, kxp, precision,
 ):
     """Fused pass C (conv1 inverse) + compute_quotient + pass A (conv2
     forward) for one z-slab: v1 (Kx, B, M) + view (B, X, Y) -> u2
@@ -501,9 +516,9 @@ def _pass_cqa_kernel(
         t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
         q_re, q_im = [], []
         for r in range(R):
-            blurred = _inv_x(bxp, t_re[r], t_im[r], kxp, precision)
+            blurred = _inv_x(bxp, t_re[r], t_im[r], precision)
             quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
-            f_re, f_im = _fwd_x(fxp, quot, kx, kxp, precision)
+            f_re, f_im = _fwd_x(fxp, quot, kxp, precision)
             q_re.append(f_re)
             q_im.append(f_im)
         out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
@@ -535,7 +550,7 @@ def _pass_cu_kernel(
     vre_ref, vim_ref, psi_ref, w_ref,
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
     bxp_ref, out_ref,
-    *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float, precision,
+    *, om_yi, scalar_w: bool, lam: float, min_value: float, precision,
 ):
     """Fused pass C (conv2 inverse) + RL update for one z-slab:
     v2 (Kx, B, M) + psi/weights slabs -> psi' (B, X, Y).  The integral
@@ -551,7 +566,7 @@ def _pass_cu_kernel(
         blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
         t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
         for r in range(R):
-            integral = _inv_x(bxp, t_re[r], t_im[r], kxp, precision)
+            integral = _inv_x(bxp, t_re[r], t_im[r], precision)
             psi = psi_ref[b, :, r * M : (r + 1) * M]
             w = w_scalar if scalar_w else w_ref[b, :, r * M : (r + 1) * M]
             out_ref[b, :, r * M : (r + 1) * M] = _rl_update_block(
@@ -569,70 +584,41 @@ def _slab(n_z: int, x: int, y: int) -> int:
     return 8 if n_z % 8 == 0 else n_z
 
 
-def kernel_spectrum_fused(kernel: jnp.ndarray, shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Wrapped-kernel spectrum in the (Kx, Q, M) v2 layout (split re/im),
+def kernel_spectrum_fused(
+    kernel: jnp.ndarray, shape, precision: str = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Wrapped-kernel spectrum in the (Kxp, Q, M) v2 layout (split re/im,
+    x-frequency axis zero-padded to the 8-aligned Kxp pack stride),
     pre-permuted into the interleaved split-stage order along Q (z) and M
     (y) — identity permutations for dense (R=1) axes.
 
-    Computed with the einsum engine's dft3 (compact layout (Q, M, Kx))
-    then permuted once at prepare time — prepare-side cost, not loop cost.
+    Forwarded with the SAME split-stage Pallas pipeline the convolve runs
+    (pass A + the forward half of pass B) — the analog of the reference's
+    on-device ``generate_forwarded_kernels``
+    (/root/reference/src/gpu_deconvolve_methods.cuh:28-65).  This is
+    per-deconvolve-call prepare work; the previous dense-einsum prep cost
+    ~175 ms/call/kernel at 512^3 (4x the split-stage FLOPs) and dominated
+    short runs.  The interleaved output order needs no materialized
+    permutation: pass BF lands frequencies exactly where the spectral
+    multiply reads them.  ``precision=None`` maps the library matmul
+    precision to the kernel's modes like every fused call site.
     """
-    from ...core.dft import dft3, make_plan as make_dft_plan, DFTPlan
     from ...core.wrap import wrap_kernel
 
     shape = tuple(int(s) for s in shape)
     Z, Y, X = shape
-    plan = make_dft_plan(shape)
+    plan = make_fused_plan(shape)
+    if precision is None:
+        from ...core import dft as _dft
+
+        precision = (
+            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+        )
+    interp = jax.default_backend() == "cpu"
     wrapped = wrap_kernel(jnp.asarray(kernel, jnp.float32), shape)
-    if not isinstance(plan, DFTPlan):
-        # long-axis shapes: build the compact-layout spectrum directly from
-        # the same twiddle construction (dense at any size)
-        re, im = _dense_dft3(wrapped)
-    else:
-        re, im = dft3(wrapped, plan)
-    # (Q, M, Kx) -> (Kx, Q, M), then interleave split-stage frequencies
-    re = jnp.transpose(re, (2, 0, 1))
-    im = jnp.transpose(im, (2, 0, 1))
-    pz = split_perm(Z, pick_split(Z))
-    py = split_perm(Y, pick_split(Y))
-    return re[:, pz][:, :, py], im[:, pz][:, :, py]
-
-
-def _dense_dft3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense rfft3 in the compact (Q, M, Kx) layout at ANY size (used for
-    spectra when core.dft would pick a FullDFTPlan).  Einsums honor the
-    library matmul precision (core.dft set_matmul_precision) like every
-    other engine stage: at 512^3 the HIGHEST-precision dense prep cost
-    ~175 ms/call on v5e — prep is per-deconvolve-call work (the
-    generate_forwarded_kernels analog), so with few iterations it
-    dominates; under 'high' it runs the same bf16_3x error class as the
-    fused pipeline itself."""
-    Z, Y, X = (int(s) for s in x.shape[-3:])
-    kx = X // 2 + 1
-    ty = 2.0 * np.pi * np.outer(np.arange(Y), np.arange(Y)) / Y
-    tz = 2.0 * np.pi * np.outer(np.arange(Z), np.arange(Z)) / Z
-    tx = 2.0 * np.pi * np.outer(np.arange(kx), np.arange(X)) / X
-    with jax.ensure_compile_time_eval():
-        f32 = lambda a: jnp.asarray(a, jnp.float32)
-        fxc, fxs = f32(np.cos(tx)), f32(-np.sin(tx))
-        cy, msy = f32(np.cos(ty)), f32(-np.sin(ty))
-        cz, msz = f32(np.cos(tz)), f32(-np.sin(tz))
-    from ...core import dft as _dft
-
-    e = functools.partial(jnp.einsum, precision=_dft._PREC)
-    re = e("...zyx,kx->...zyk", x, fxc)
-    im = e("...zyx,kx->...zyk", x, fxs)
-    # (re + i im) @ (Cy + i(-Sy))
-    re, im = (
-        e("...zyk,ym->...zmk", re, cy) - e("...zyk,ym->...zmk", im, msy),
-        e("...zyk,ym->...zmk", im, cy) + e("...zyk,ym->...zmk", re, msy),
-    )
-    # (Cz + i(-Sz)) @ (re + i im), matrix indexed [q, z]
-    re, im = (
-        e("...zmk,qz->...qmk", re, cz) - e("...zmk,qz->...qmk", im, msz),
-        e("...zmk,qz->...qmk", im, cz) + e("...zmk,qz->...qmk", re, msz),
-    )
-    return re, im
+    kt = jnp.transpose(wrapped, (0, 2, 1))  # (Z, X, Y)
+    u_re, u_im = _run_pass_a(kt, plan, _slab(Z, X, Y), interp, precision)
+    return _run_pass_bf(u_re, u_im, plan, interp, precision)
 
 
 # all pass grids iterate over independent slabs/slices (disjoint output
@@ -665,10 +651,10 @@ def _check_transposed(xt):
 def _run_pass_a(xt, plan, B, interpret, precision):
     """(Z, X, Y) -> u (Kx, Z, M) split re/im; grid over z-slabs."""
     Z, Y, X = plan.shape
-    Kx, M, sy = plan.kx, Y, plan.sy
+    Kx, M, sy = plan.kxp, Y, plan.sy
     return pl.pallas_call(
         functools.partial(
-            _pass_a_kernel, om_y=sy.omf, kx=Kx, kxp=plan.kxp,
+            _pass_a_kernel, om_y=sy.omf, kxp=plan.kxp,
             precision=precision,
         ),
         grid=(Z // B,),
@@ -697,7 +683,7 @@ def _run_pass_a(xt, plan, B, interpret, precision):
 def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
     """z-DFT * K̂ * z-IDFT on (Kx, Z, M); grid over x-frequencies."""
     Z, Y, X = plan.shape
-    Kx, M, sz = plan.kx, Y, plan.sz
+    Kx, M, sz = plan.kxp, Y, plan.sz
     blk = lambda: pl.BlockSpec(
         (1, Z, M), lambda k: (k, 0, 0), memory_space=_VMEM
     )
@@ -723,6 +709,31 @@ def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
     )(u_re, u_im, k_re, k_im, *sz.wf, *sz.twf, *sz.wi, *sz.twi)
 
 
+def _run_pass_bf(u_re, u_im, plan, interpret, precision):
+    """Forward-only z-DFT on (Kxp, Z, M) — spectrum forwarding."""
+    Z, Y, X = plan.shape
+    Kx, M, sz = plan.kxp, Y, plan.sz
+    blk = lambda: pl.BlockSpec(
+        (1, Z, M), lambda k: (k, 0, 0), memory_space=_VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_pass_bf_kernel, om_zf=sz.omf, precision=precision),
+        grid=(Kx,),
+        in_specs=[
+            blk(), blk(),
+            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
+            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
+        ],
+        out_specs=(blk(), blk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(u_re, u_im, *sz.wf, *sz.twf)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "precision")
 )
@@ -740,7 +751,7 @@ def fused_convolve_transposed(
     whole RL loop (see deconv.rl algorithm='fused')."""
     Z, X, Y = _check_transposed(xt)
     plan = make_fused_plan((Z, Y, X))
-    Kx = plan.kx
+    Kx = plan.kxp
     B = _slab(Z, X, Y)
     M = Y
     sy = plan.sy
@@ -755,7 +766,7 @@ def fused_convolve_transposed(
     # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
     out = pl.pallas_call(
         functools.partial(
-            _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp, precision=precision
+            _pass_c_kernel, om_yi=sy.omi, precision=precision
         ),
         grid=(Z // B,),
         in_specs=[
@@ -821,7 +832,7 @@ def fused_rl_step_transposed(
     """
     Z, X, Y = _check_transposed(psi_t)
     plan = make_fused_plan((Z, Y, X))
-    Kx = plan.kx
+    Kx = plan.kxp
     B = _slab(Z, X, Y)
     M = Y
     sy = plan.sy
@@ -848,7 +859,7 @@ def fused_rl_step_transposed(
     u_re, u_im = pl.pallas_call(
         functools.partial(
             _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
-            kx=Kx, kxp=plan.kxp, precision=precision,
+            kxp=plan.kxp, precision=precision,
         ),
         grid=(Z // B,),
         in_specs=(
@@ -884,7 +895,7 @@ def fused_rl_step_transposed(
         w_spec = slab()
     psi_new = pl.pallas_call(
         functools.partial(
-            _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
+            _pass_cu_kernel, om_yi=sy.omi, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
         ),
         grid=(Z // B,),

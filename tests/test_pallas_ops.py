@@ -113,7 +113,8 @@ def test_fused2_rejects_bad_shapes(rng):
 
 def test_fused2_spectrum_layout_roundtrip(rng):
     """kernel_spectrum_fused is the (Kx, Q, M) permutation of the compact
-    dft3 spectrum (layout (Q, M, Kx))."""
+    dft3 spectrum (layout (Q, M, Kx)), zero-padded on the x-frequency
+    axis to the 8-aligned Kxp pack stride."""
     from libmultiviewnative_tpu.core.dft import kernel_spectrum_split
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
         kernel_spectrum_fused,
@@ -121,15 +122,22 @@ def test_fused2_spectrum_layout_roundtrip(rng):
     from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
     shape = (16, 24, 32)
+    kx = shape[2] // 2 + 1  # 17 -> Kxp 24
     k = gaussian_kernel((5, 5, 5), 1.0)
     re, im = kernel_spectrum_split(jnp.asarray(k), shape)
     re2, im2 = kernel_spectrum_fused(jnp.asarray(k), shape)
+    assert re2.shape[0] == -(-kx // 8) * 8
+    # split-stage pipeline vs einsum engine: same values up to f32
+    # accumulation-order noise
     np.testing.assert_allclose(
-        np.asarray(re2), np.transpose(np.asarray(re), (2, 0, 1)), rtol=1e-6
+        np.asarray(re2)[:kx], np.transpose(np.asarray(re), (2, 0, 1)),
+        rtol=1e-5, atol=1e-6,
     )
     np.testing.assert_allclose(
-        np.asarray(im2), np.transpose(np.asarray(im), (2, 0, 1)), rtol=1e-6
+        np.asarray(im2)[:kx], np.transpose(np.asarray(im), (2, 0, 1)),
+        rtol=1e-5, atol=1e-6,
     )
+    assert not np.asarray(re2)[kx:].any() and not np.asarray(im2)[kx:].any()
 
 
 @pytest.mark.parametrize(
