@@ -48,7 +48,16 @@ MODE_MATRIX = {
         ["--view_order", "sequential"],
         ["--view_order", "simultaneous"],
     ],
+    # round-2 engine ladder: the three in-core engines head-to-head
+    # (fused only lowers on a real TPU and needs axes %8 / even X —
+    # eligible everywhere on the 2^n dims ladder)
+    "engines": [
+        ["--engine", "fft"],
+        ["--engine", "dft"],
+        ["--engine", "fused"],
+    ],
 }
+MODE_BENCH = {"engines": "deconvolve"}  # alias matrices -> bench CLI
 
 
 def main(argv=None):
@@ -67,7 +76,7 @@ def main(argv=None):
         "fft": bench_fft.main,
         "convolve": bench_convolve.main,
         "deconvolve": bench_deconvolve.main,
-    }[args.bench]
+    }[MODE_BENCH.get(args.bench, args.bench)]
 
     out_f = open(args.output, "a") if args.output else None
     try:
