@@ -120,6 +120,38 @@ want = np.asarray(
 for sh in out.addressable_shards:
     got = np.asarray(sh.data)
     np.testing.assert_allclose(got, want[sh.index], rtol=2e-5, atol=2e-4)
+
+# ---- shard-wise loader: each process must read ONLY the views whose
+# shards it addresses (the multi-host loading contract, parallel.loader)
+from libmultiviewnative_tpu.parallel.loader import load_sharded_workspace
+
+calls = []
+
+
+def reader_for(v):
+    def r(zs):
+        calls.append(v)
+        return views[v][zs]
+
+    return r
+
+
+psi_l, data_l = load_sharded_workspace(
+    mesh, [reader_for(v) for v in range(V)], list(k1), list(k2),
+    [w[v] for v in range(V)], shape, psi0=lambda zs: psi0[zs],
+)
+local_views = {
+    sh.index[0].start for sh in data_l.views.addressable_shards
+}
+assert calls and set(calls) <= local_views, (sorted(set(calls)), local_views)
+for sh in data_l.views.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(sh.data), views[sh.index])
+out2 = deconvolve_sharded_jit(psi_l, data_l, num_iterations=2, mesh=mesh,
+                              lam=0.006)
+for sh in out2.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(sh.data), want[sh.index], rtol=2e-5, atol=2e-4
+    )
 print(f"proc {pid} DECONV OK", flush=True)
 """
 
