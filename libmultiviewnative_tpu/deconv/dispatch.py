@@ -85,10 +85,20 @@ def estimate_interleaved_bytes(data: MultiViewData, algorithm: str = "auto") -> 
     spatial = data.spatial_shape
     vol = 4 * math.prod(spatial)
     V = data.num_views
-    algo = algorithm if algorithm in ("fft", "dft") else (
-        "dft" if max(spatial) <= 256 else "fft"
+    if algorithm in ("fft", "dft", "fused"):
+        algo = algorithm
+    else:  # 'auto': mirror interleaved._resolve_engine
+        from .rl import fused_eligible
+
+        if max(spatial) >= 256 and fused_eligible(spatial):
+            algo = "fused"
+        else:
+            algo = "dft" if max(spatial) <= 256 else "fft"
+    # fused (Kxp, Q, M) split re/im and long-axis FullDFTPlan spectra are
+    # ~2 f32 volumes per kernel per view; hermitian half-spectra ~1
+    spectrum_vols = (
+        2 if algo == "fused" or (algo == "dft" and max(spatial) > 256) else 1
     )
-    spectrum_vols = 2 if (algo == "dft" and max(spatial) > 256) else 1
     return (4 + 2 * V * spectrum_vols) * vol
 
 
