@@ -391,23 +391,41 @@ def _pass_a_kernel(
     x_ref, fxp_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
     ure_ref, uim_ref, *, om_y, kxp, precision,
 ):
-    """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kx, B, M)."""
+    """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kxp, B, M).
+
+    PLANE-BATCHED: the x-rfft runs as ONE (2Kxp, X) @ (X, B*Y) product
+    (planes concatenated along lanes) and the y stage on ROW-STACKED
+    planes (B*Kxp rows = e.g. 1088 at 256-class: 9 MXU row-tiles instead
+    of 8 planes x 2 half-empty tiles = 16 — a 44% y-stage tile cut; the
+    stacking concats are aligned VMEM copies).  Bitwise-identical per
+    plane: matmul rows/lanes are independent."""
     B = x_ref.shape[0]
+    Y = x_ref.shape[2]
     R, M = om_y.shape[0], wya_ref.shape[0]
     fxp = fxp_ref[:]
     wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
-    for b in range(B):
-        p = x_ref[b]  # (X, Y)
-        t_re, t_im = _fwd_x(fxp, p, kxp, precision)  # (Kxp, Y)
-        blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
-        blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
-        out_re, out_im = _fwd_split_right(
-            blk_re, blk_im, wf, twr, twi, om_y, precision
-        )
-        for q in range(R):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q]
+    planes = jnp.concatenate([x_ref[b] for b in range(B)], axis=1)
+    t = _dot(fxp, planes, precision)  # (2Kxp, B*Y)
+    s_re = jnp.concatenate(
+        [t[:kxp, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+    )  # (B*Kxp, Y)
+    s_im = jnp.concatenate(
+        [t[kxp:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+    )
+    blk_re = [s_re[:, r * M : (r + 1) * M] for r in range(R)]
+    blk_im = [s_im[:, r * M : (r + 1) * M] for r in range(R)]
+    out_re, out_im = _fwd_split_right(
+        blk_re, blk_im, wf, twr, twi, om_y, precision
+    )
+    for q in range(R):
+        for b in range(B):
+            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                b * kxp : (b + 1) * kxp
+            ]
+            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                b * kxp : (b + 1) * kxp
+            ]
 
 
 def _pass_b_kernel(
@@ -460,28 +478,71 @@ def _pass_bf_kernel(
         oim_ref[0, q * M : (q + 1) * M, :] = v_im[q]
 
 
+def _stack_freq_blocks(re_ref, im_ref, B, R, M, kxp):
+    """(Kxp, B, M) slab refs -> R ROW-STACKED (B*Kxp, M) block pairs
+    (plane b occupies rows [b*Kxp, (b+1)*Kxp) — every boundary 8-aligned)."""
+    blk_re = [
+        jnp.concatenate(
+            [re_ref[:, b, q * M : (q + 1) * M] for b in range(B)], axis=0
+        )
+        for q in range(R)
+    ]
+    blk_im = [
+        jnp.concatenate(
+            [im_ref[:, b, q * M : (q + 1) * M] for b in range(B)], axis=0
+        )
+        for q in range(R)
+    ]
+    return blk_re, blk_im
+
+
+def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision):
+    """Row-stacked (B*Kxp, M) halves -> (X, B*M) spatial planes via ONE
+    packed contraction (plane b = lane block [b*M, (b+1)*M))."""
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [s_re[b * kxp : (b + 1) * kxp], s_im[b * kxp : (b + 1) * kxp]],
+                axis=0,
+            )
+            for b in range(B)
+        ],
+        axis=1,
+    )  # (2*Kxp, B*M)
+    return _dot(bxp, packed, precision)
+
+
+def _fwd_x_planes(fxp, planes, B, kxp, precision):
+    """(X, B*W) spatial planes -> row-stacked (B*Kxp, W) halves via ONE
+    packed product."""
+    W = planes.shape[1] // B
+    t = _dot(fxp, planes, precision)  # (2*Kxp, B*W)
+    s_re = jnp.concatenate(
+        [t[:kxp, b * W : (b + 1) * W] for b in range(B)], axis=0
+    )
+    s_im = jnp.concatenate(
+        [t[kxp:, b * W : (b + 1) * W] for b in range(B)], axis=0
+    )
+    return s_re, s_im
+
+
 def _pass_c_kernel(
     ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    bxp_ref, out_ref, *, om_yi, precision,
+    bxp_ref, out_ref, *, om_yi, kxp, precision,
 ):
-    """split y-inverse + hermitian x-irfft for one z-slab.
-    u (Kx, B, M) -> out (B, X, Y)."""
+    """split y-inverse + hermitian x-irfft for one z-slab, PLANE-BATCHED
+    (see _pass_a_kernel).  u (Kxp, B, M) -> out (B, X, Y)."""
     B = out_ref.shape[0]
     R, M = om_yi.shape[0], wya_ref.shape[0]
     wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
     bxp = bxp_ref[:]
-    for b in range(B):
-        blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        t_re, t_im = _inv_split_right(
-            blk_re, blk_im, wi, twr, twi, om_yi, precision
-        )
-        for r in range(R):
-            # out = Re[ Bx @ t ], applied per contiguous column block
-            out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
-                bxp, t_re[r], t_im[r], precision
-            )
+    blk_re, blk_im = _stack_freq_blocks(ure_ref, uim_ref, B, R, M, kxp)
+    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, twr, twi, om_yi, precision)
+    for r in range(R):
+        out = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        for b in range(B):
+            out_ref[b, :, r * M : (r + 1) * M] = out[:, b * M : (b + 1) * M]
 
 
 def _pass_cqa_kernel(
@@ -510,21 +571,27 @@ def _pass_cqa_kernel(
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
     bxp, fxp = bxp_ref[:], fxp_ref[:]
-    for b in range(B):
-        blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-        q_re, q_im = [], []
-        for r in range(R):
-            blurred = _inv_x(bxp, t_re[r], t_im[r], precision)
-            quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
-            f_re, f_im = _fwd_x(fxp, quot, kxp, precision)
-            q_re.append(f_re)
-            q_im.append(f_im)
-        out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
-        for q in range(R):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q]
+    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
+    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
+    q_re, q_im = [], []
+    for r in range(R):
+        blurred = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        view_r = jnp.concatenate(
+            [view_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+        )  # (X, B*M)
+        quot = view_r * (1.0 / blurred)
+        s_re, s_im = _fwd_x_planes(fxp, quot, B, kxp, precision)
+        q_re.append(s_re)
+        q_im.append(s_im)
+    out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
+    for q in range(R):
+        for b in range(B):
+            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                b * kxp : (b + 1) * kxp
+            ]
+            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                b * kxp : (b + 1) * kxp
+            ]
 
 
 def _rl_update_block(psi, integral, w, lam: float, min_value: float):
@@ -550,28 +617,34 @@ def _pass_cu_kernel(
     vre_ref, vim_ref, psi_ref, w_ref,
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
     bxp_ref, out_ref,
-    *, om_yi, scalar_w: bool, lam: float, min_value: float, precision,
+    *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float, precision,
 ):
-    """Fused pass C (conv2 inverse) + RL update for one z-slab:
-    v2 (Kx, B, M) + psi/weights slabs -> psi' (B, X, Y).  The integral
-    volume is never materialized in HBM."""
+    """Fused pass C (conv2 inverse) + RL update for one z-slab,
+    PLANE-BATCHED: v2 (Kxp, B, M) + psi/weights slabs -> psi' (B, X, Y).
+    The integral volume is never materialized in HBM."""
     B = out_ref.shape[0]
     R, M = om_yi.shape[0], iya_ref.shape[0]
     wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
     itr, iti = ityr_ref[:], ityi_ref[:]
     bxp = bxp_ref[:]
     w_scalar = w_ref[0, 0] if scalar_w else None
-    for b in range(B):
-        blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-        t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-        for r in range(R):
-            integral = _inv_x(bxp, t_re[r], t_im[r], precision)
-            psi = psi_ref[b, :, r * M : (r + 1) * M]
-            w = w_scalar if scalar_w else w_ref[b, :, r * M : (r + 1) * M]
-            out_ref[b, :, r * M : (r + 1) * M] = _rl_update_block(
-                psi, integral, w, lam, min_value
+    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
+    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
+    for r in range(R):
+        integral = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        psi = jnp.concatenate(
+            [psi_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+        )
+        w = (
+            w_scalar
+            if scalar_w
+            else jnp.concatenate(
+                [w_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
             )
+        )
+        new = _rl_update_block(psi, integral, w, lam, min_value)
+        for b in range(B):
+            out_ref[b, :, r * M : (r + 1) * M] = new[:, b * M : (b + 1) * M]
 
 
 def _slab(n_z: int, x: int, y: int) -> int:
@@ -766,7 +839,8 @@ def fused_convolve_transposed(
     # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
     out = pl.pallas_call(
         functools.partial(
-            _pass_c_kernel, om_yi=sy.omi, precision=precision
+            _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
+            precision=precision,
         ),
         grid=(Z // B,),
         in_specs=[
@@ -895,7 +969,7 @@ def fused_rl_step_transposed(
         w_spec = slab()
     psi_new = pl.pallas_call(
         functools.partial(
-            _pass_cu_kernel, om_yi=sy.omi, scalar_w=scalar_w,
+            _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
         ),
         grid=(Z // B,),
