@@ -405,6 +405,20 @@ def _pass_a_kernel(
     fxp = fxp_ref[:]
     wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
+    if M < 128:
+        # narrow lanes: Mosaic cannot lower the stacking concats
+        # ("offset mismatch on non-concat dimension") — per-plane path
+        for b in range(B):
+            t_re, t_im = _fwd_x(fxp, x_ref[b], kxp, precision)
+            blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
+            blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
+            o_re, o_im = _fwd_split_right(
+                blk_re, blk_im, wf, twr, twi, om_y, precision
+            )
+            for q in range(R):
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+        return
     planes = jnp.concatenate([x_ref[b] for b in range(B)], axis=1)
     t = _dot(fxp, planes, precision)  # (2Kxp, B*Y)
     s_re = jnp.concatenate(
@@ -537,6 +551,18 @@ def _pass_c_kernel(
     wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
     bxp = bxp_ref[:]
+    if M < 128:
+        for b in range(B):
+            blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            t_re, t_im = _inv_split_right(
+                blk_re, blk_im, wi, twr, twi, om_yi, precision
+            )
+            for r in range(R):
+                out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
+                    bxp, t_re[r], t_im[r], precision
+                )
+        return
     blk_re, blk_im = _stack_freq_blocks(ure_ref, uim_ref, B, R, M, kxp)
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, twr, twi, om_yi, precision)
     for r in range(R):
@@ -571,6 +597,27 @@ def _pass_cqa_kernel(
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
     bxp, fxp = bxp_ref[:], fxp_ref[:]
+    if M < 128:
+        for b in range(B):
+            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            t_re, t_im = _inv_split_right(
+                blk_re, blk_im, wi, itr, iti, om_yi, precision
+            )
+            q_re, q_im = [], []
+            for r in range(R):
+                blurred = _inv_x(bxp, t_re[r], t_im[r], precision)
+                quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
+                f_re, f_im = _fwd_x(fxp, quot, kxp, precision)
+                q_re.append(f_re)
+                q_im.append(f_im)
+            o_re, o_im = _fwd_split_right(
+                q_re, q_im, wf, ftr, fti, om_yf, precision
+            )
+            for q in range(R):
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+        return
     blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
     q_re, q_im = [], []
@@ -628,6 +675,25 @@ def _pass_cu_kernel(
     itr, iti = ityr_ref[:], ityi_ref[:]
     bxp = bxp_ref[:]
     w_scalar = w_ref[0, 0] if scalar_w else None
+    if M < 128:
+        for b in range(B):
+            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            t_re, t_im = _inv_split_right(
+                blk_re, blk_im, wi, itr, iti, om_yi, precision
+            )
+            for r in range(R):
+                integral = _inv_x(bxp, t_re[r], t_im[r], precision)
+                psi = psi_ref[b, :, r * M : (r + 1) * M]
+                w = (
+                    w_scalar
+                    if scalar_w
+                    else w_ref[b, :, r * M : (r + 1) * M]
+                )
+                out_ref[b, :, r * M : (r + 1) * M] = _rl_update_block(
+                    psi, integral, w, lam, min_value
+                )
+        return
     blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
     for r in range(R):
