@@ -20,7 +20,8 @@ def main(argv=None):
     p = base_parser("batched 3D convolution (folds) benchmark")
     p.add_argument("-n", "--num_stacks", type=int, default=8)
     p.add_argument("-k", "--kernel_dims", type=parse_dims, default=(21, 21, 21))
-    p.add_argument("--engine", choices=["fft", "dft", "direct"], default="fft")
+    p.add_argument("--engine", choices=["fft", "dft", "fused", "direct"],
+                   default="fft")
     args = p.parse_args(argv)
     jax = setup_platform(args.platform)
     import numpy as np
@@ -53,6 +54,20 @@ def main(argv=None):
 
         kre, kim = kernel_spectrum_split(kernel, tuple(args.stack_dims))
         fn = jax.jit(lambda x: dft_convolve_spectrum(x, kre, kim))
+    elif args.engine == "fused":
+        import jax.numpy as jnp
+
+        from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+            fused_convolve_spectrum,
+            kernel_spectrum_fused,
+        )
+
+        interp = jax.default_backend() == "cpu"
+        kre2, kim2 = kernel_spectrum_fused(kernel, tuple(args.stack_dims))
+        one = jax.jit(
+            lambda x: fused_convolve_spectrum(x, kre2, kim2, interpret=interp)
+        )
+        fn = jax.jit(lambda xs: jnp.stack([one(xs[i]) for i in range(args.num_stacks)]))
     else:
         fn = jax.jit(lambda x: direct_convolve3d(x, kernel, mode="circular"))
 
@@ -63,6 +78,15 @@ def main(argv=None):
         + (f"_{args.comment}" if args.comment else "")
     )
     emit_row(args.repeats, total_ms, args.stack_dims, comment)
+    # content bandwidth (BASELINE.md metric "3D FFT-convolve GB/s per
+    # chip"): volume bytes in + out per convolve over wall time
+    import math
+
+    nbytes = 2 * args.num_stacks * 4 * math.prod(args.stack_dims)
+    print(
+        f"# convolve_content_gbps "
+        f"{nbytes / (total_ms * 1e-3) / 1e9:.2f}"
+    )
 
 
 if __name__ == "__main__":

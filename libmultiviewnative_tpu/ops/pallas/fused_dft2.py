@@ -14,22 +14,30 @@ spectra) spans full 128-lane tiles:
                                 layout-agnostic, so views/weights/psi all
                                 live transposed across the whole
                                 iteration; zero per-iteration transposes)
-  intermediate    (Kx, Z, M)  — split re/im; pass B reads/writes clean
-                                (1, Z, M) leading-dim blocks
-  kernel spectrum (Kx, Q, M)  — split re/im, precomputed in this layout
-                                (and pre-PERMUTED for split stages, below)
+  intermediate    (Kxp, Z, M) — split re/im, x-frequency axis padded to
+                                the 8-aligned Kxp pack stride (pad rows
+                                provably zero end-to-end); pass B
+                                reads/writes clean (1, Z, M) blocks
+  kernel spectrum (Kxp, Q, M) — split re/im, forwarded by the pipeline
+                                itself (pass A + forward-only pass BF) so
+                                the interleaved split-stage order lands
+                                where the multiply reads it
 
-  pass A  per z-slab:  plane (X, Y):
-            t = Fx(Kx,X) @ plane          x-rfft, left-mult
-            u = split-DFT_y(t)            y-DFT, right-mult (Karatsuba)
+  pass A  per z-slab (PLANE-BATCHED, all 8 planes at once):
+            t = Fxp(2Kxp,X) @ planes(X, B*Y)   packed x-rfft, one product
+            u = split-DFT_y(row-stacked t)     y-DFT on (B*Kxp, M) stacks
   pass B  per x-freq k:  slice (Z, M):
             v = split-DFT_z(u)            z-DFT (Karatsuba)
             p = v * K̂[k]                 spectral multiply
             w = split-IDFT_z(p)           z-inverse, 1/Z folded
-  pass C  per z-slab:  slice (Kx, M):
-            t = split-IDFT_y(u)           y-inverse, 1/Y folded
-            out = BxC(X,Kx) @ t_re - BxS @ t_im
-                                          hermitian-weighted x-irfft
+  pass C  per z-slab (PLANE-BATCHED):
+            t = split-IDFT_y(u)           y-inverse on row-stacked blocks
+            out = Bxp(X,2Kxp) @ [t_re; t_im]   packed hermitian x-irfft
+
+  The x matrices pack cos/-sin rows (2Kxp spans 3 MXU row-tiles instead
+  of 2x2 half-empty); the y stages run on row-stacked slabs (B*Kxp =
+  1088 rows at 256-class -> 9 row-tiles instead of 16).  Narrow-lane
+  shapes (M < 128) keep a per-plane path (Mosaic concat limits).
 
 Mixed-radix split stages (round 2): a length-N DFT with N = R*M is
 computed decimation-in-frequency style with BLOCK-contiguous data —

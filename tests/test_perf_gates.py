@@ -89,9 +89,9 @@ def test_dft_engine_not_slower_than_fft_at_128(tpu):
 
 @requires_gates
 def test_fused_split_kernel_not_slower_than_dft_at_256(tpu):
-    """'auto' routes 256-class shapes to the fused split-stage kernel on
-    the strength of its measured 55.4-vs-50.6 it/s win over the einsum
-    engine (docs/PERFORMANCE.md round 2); catch it regressing."""
+    """'auto' routes 256-class shapes to the fused kernel on the strength
+    of its measured win over the einsum engine (499 vs 863 ms at 6-view
+    256^3, docs/PERFORMANCE.md round 2); catch it regressing."""
     kw = dict(shape=(256, 256, 256), V=2, iters=5)
     t_fused = _time_rl("fused", **kw)
     t_dft = _time_rl("dft", **kw)
@@ -101,7 +101,7 @@ def test_fused_split_kernel_not_slower_than_dft_at_256(tpu):
 @requires_gates
 def test_fused_kernel_beats_fft_at_512(tpu):
     """'auto' routes >256 eligible shapes to the fused Mosaic kernel on
-    the strength of its measured 3.5x over the fft engine at 512^3
+    the strength of its measured multi-x margin over the fft engine at 512^3
     (docs/PERFORMANCE.md round 2); catch it regressing below fft.
     Single view + scalar weights keeps the gate light on HBM/compile."""
     kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True)
