@@ -36,7 +36,7 @@ def main():
     p.add_argument("--chunk-z", default="auto",
                    help="int or 'auto' (engine-friendly extended extent)")
     p.add_argument("--algorithm", default="auto",
-                   choices=["fft", "dft", "direct", "auto"])
+                   choices=["fft", "dft", "fused", "direct", "auto"])
     p.add_argument("--mode", default="streamed",
                    choices=["streamed", "interleaved"])
     p.add_argument("--scalar-weights", action="store_true",

@@ -85,15 +85,12 @@ def estimate_interleaved_bytes(data: MultiViewData, algorithm: str = "auto") -> 
     spatial = data.spatial_shape
     vol = 4 * math.prod(spatial)
     V = data.num_views
-    if algorithm in ("fft", "dft", "fused"):
-        algo = algorithm
-    else:  # 'auto': mirror interleaved._resolve_engine
-        from .rl import fused_eligible
+    from .interleaved import _resolve_engine
 
-        if max(spatial) >= 256 and fused_eligible(spatial):
-            algo = "fused"
-        else:
-            algo = "dft" if max(spatial) <= 256 else "fft"
+    algo = _resolve_engine(
+        algorithm if algorithm in ("fft", "dft", "fused", "auto") else "auto",
+        spatial,
+    )
     # fused (Kxp, Q, M) split re/im and long-axis FullDFTPlan spectra are
     # ~2 f32 volumes per kernel per view; hermitian half-spectra ~1
     spectrum_vols = (
@@ -134,7 +131,9 @@ def deconvolve_auto(
     Option fidelity contract:
       * ``algorithm`` and ``elementwise`` are forwarded to every rung
         (in-core, sharded, interleaved, streamed); the interleaved rung
-        supports fft/dft engines (an explicit 'direct' request skips it).
+        supports fft/dft/fused engines (an explicit 'direct' request skips
+        it); an explicit 'fused' request on the sharded/streamed rungs
+        diverges loudly to per-rung 'auto'.
       * ``adjoint_kernel2``: the sharded/streamed rungs (which consume
         spatial kernels) receive a materialized flip(kernel1) in place of
         data.kernel2 — equivalent to the in-core conjugate-spectrum path
@@ -179,15 +178,19 @@ def deconvolve_auto(
             view_order=view_order,
         )
 
-    if algorithm == "fused":
-        # the fused Mosaic kernel is an in-core single-volume engine; the
-        # sharded/streamed rungs run their own per-shard/per-chunk engines
+    def demote(rung: str, supported: tuple) -> str:
+        """Each off-core rung runs its own per-shard/per-chunk engines; a
+        requested engine the rung cannot honor (e.g. the fused Mosaic
+        kernel on the sharded rung, or 'direct' where only spectral
+        engines exist) diverges LOUDLY to the rung's 'auto' selection."""
+        if algorithm in supported:
+            return algorithm
         diverge(
-            "deconvolve_auto left the in-core rung, where algorithm='fused' "
-            "is not available — falling back to per-rung 'auto' engine "
-            "selection."
+            f"deconvolve_auto selected the {rung} rung, where "
+            f"algorithm={algorithm!r} is not available — falling back to "
+            "the rung's 'auto' engine selection."
         )
-        algorithm = "auto"
+        return "auto"
 
     if adjoint_kernel2:
         # the remaining rungs consume spatial kernel2 stacks directly
@@ -211,6 +214,12 @@ def deconvolve_auto(
                     "differ.  Pass view_order='simultaneous' to opt in "
                     "silently, or strict=True to forbid."
                 )
+                # the delivered math is simultaneous either way, so the
+                # unnormalized-weights audit must run here, EAGERLY — the
+                # in-rung check is skipped under jit (tracer weights)
+                from .workspace import check_simultaneous_weights
+
+                check_simultaneous_weights(data.weights)
             trace_print(
                 f"dispatch: sharded mesh {dict(mesh.shape)} "
                 f"(est {est>>20} MiB over {n_dev} devices)"
@@ -218,7 +227,8 @@ def deconvolve_auto(
             psi_s, data_s = shard_workspace(data, psi, mesh)
             return deconvolve_sharded_jit(
                 psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
-                lam=lam, min_value=min_value, algorithm=algorithm,
+                lam=lam, min_value=min_value,
+                algorithm=demote("mesh-sharded", ("fft", "dft", "auto")),
                 elementwise=elementwise,
             )
         trace_print("dispatch: no valid mesh factorization; streaming")
@@ -231,8 +241,8 @@ def deconvolve_auto(
     if algorithm != "direct" and est_il < cap:
         # interleaved rung: psi device-resident, views streamed — the
         # reference's interleaved mode design point (sequential math, so a
-        # simultaneous request diverges; elementwise is the same XLA-fused
-        # jnp chain as in-core, semantically identical either way)
+        # simultaneous request diverges; fft/dft/fused engines and both
+        # elementwise modes are honored)
         if view_order == "simultaneous":
             diverge(
                 "deconvolve_auto selected the interleaved rung, which runs "
@@ -253,7 +263,7 @@ def deconvolve_auto(
             deconvolve_interleaved(
                 np.asarray(psi), views, k1, k2, ws_il, num_iterations,
                 lam=lam, min_value=min_value, chunk_z=ck,
-                algorithm=algorithm,
+                algorithm=algorithm, elementwise=elementwise,
             )
         )
 
@@ -270,7 +280,9 @@ def deconvolve_auto(
     ]
     return deconvolve_streamed(
         np.asarray(psi), views, k1, k2, ws, num_iterations, lam, min_value,
-        chunk_z=chunk_z, algorithm=algorithm, elementwise=elementwise,
+        chunk_z=chunk_z,
+        algorithm=demote("streamed", ("fft", "dft", "direct", "auto")),
+        elementwise=elementwise,
     )
 
 

@@ -48,7 +48,6 @@ from jax import lax
 from ..core.convolve import convolve_spectrum
 from ..core.dft import dft_convolve_spectrum, kernel_spectrum_split
 from ..core.fft import rfft3
-from ..core.kernels import rl_update
 from ..core.wrap import wrap_kernel
 
 
@@ -68,9 +67,16 @@ def _resolve_engine(algorithm: str, spatial_shape) -> str:
     return algorithm
 
 
+# two jit variants per engine: the conv2 call donates its input (the
+# quotient dies there), but the conv1 call must NOT donate psi — the
+# update step still reads it, and donating would force an extra
+# full-volume copy (psi + 0.0) per view step just to keep psi alive
 @partial(jax.jit, donate_argnums=(0,))
 def _convolve_fft(x, k_hat):
     return convolve_spectrum(x, k_hat)
+
+
+_convolve_fft_keep = jax.jit(lambda x, k_hat: convolve_spectrum(x, k_hat))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -78,8 +84,12 @@ def _convolve_dft(x, k_re, k_im):
     return dft_convolve_spectrum(x, k_re, k_im)
 
 
-@partial(jax.jit, static_argnames=("interpret", "precision"), donate_argnums=(0,))
-def _convolve_fused(x, k_re, k_im, interpret: bool, precision: str):
+_convolve_dft_keep = jax.jit(
+    lambda x, k_re, k_im: dft_convolve_spectrum(x, k_re, k_im)
+)
+
+
+def _fused_body(x, k_re, k_im, interpret: bool, precision: str):
     # device-side transposes (HBM copies, sub-ms) around the Mosaic
     # engine — worth it at >=256-class where it runs ~3.5x the fft engine
     from ..ops.pallas.fused_dft2 import fused_convolve_transposed
@@ -89,6 +99,14 @@ def _convolve_fused(x, k_re, k_im, interpret: bool, precision: str):
         xt, k_re, k_im, interpret=interpret, precision=precision
     )
     return jnp.transpose(out, (0, 2, 1))
+
+
+_convolve_fused = partial(
+    jax.jit, static_argnames=("interpret", "precision"), donate_argnums=(0,)
+)(_fused_body)
+_convolve_fused_keep = partial(
+    jax.jit, static_argnames=("interpret", "precision")
+)(_fused_body)
 
 
 @partial(jax.jit, static_argnames=("z0",), donate_argnums=(0,))
@@ -101,23 +119,37 @@ def _quot_chunk(quotient, view_chunk, blurred, z0: int):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("z0", "lam", "min_value"),
-    donate_argnums=(0,),
-)
-def _update_chunk(psi, integral, w_chunk, z0: int, lam: float, min_value: float):
-    bz = w_chunk.shape[0]
-    pz = lax.dynamic_slice_in_dim(psi, z0, bz, axis=0)
-    iz = lax.dynamic_slice_in_dim(integral, z0, bz, axis=0)
-    return lax.dynamic_update_slice_in_dim(
-        psi, rl_update(pz, iz, w_chunk, lam, min_value), z0, axis=0
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _update_fns(elementwise: str):
+    """Jitted update programs for one elementwise mode ('jnp' XLA-fused
+    chain or 'pallas' single-pass kernel), cached across calls."""
+    from .rl import _select_rl_update
+
+    update = _select_rl_update(elementwise)
+
+    @partial(
+        jax.jit,
+        static_argnames=("z0", "lam", "min_value"),
+        donate_argnums=(0,),
     )
+    def _update_chunk(psi, integral, w_chunk, z0: int, lam: float, min_value: float):
+        bz = w_chunk.shape[0]
+        pz = lax.dynamic_slice_in_dim(psi, z0, bz, axis=0)
+        iz = lax.dynamic_slice_in_dim(integral, z0, bz, axis=0)
+        return lax.dynamic_update_slice_in_dim(
+            psi, update(pz, iz, w_chunk, lam, min_value), z0, axis=0
+        )
 
+    @partial(jax.jit, static_argnames=("lam", "min_value"), donate_argnums=(0,))
+    def _update_scalar(psi, integral, w, lam: float, min_value: float):
+        # scalar w broadcasts inside the update fn (the pallas variant
+        # materializes it itself; the jnp chain fuses it away)
+        return update(psi, integral, w, lam, min_value)
 
-@partial(jax.jit, static_argnames=("lam", "min_value"), donate_argnums=(0,))
-def _update_scalar(psi, integral, w, lam: float, min_value: float):
-    return rl_update(psi, integral, w, lam, min_value)
+    return _update_chunk, _update_scalar
 
 
 def _chunk_bounds(Z: int, chunk: int):
@@ -135,12 +167,15 @@ def deconvolve_interleaved(
     min_value: float = 1e-4,
     chunk_z: int = 64,
     algorithm: str = "auto",
+    elementwise: str = "jnp",
 ) -> np.ndarray:
     """Sequential-parity RL with device-resident psi and streamed views.
 
     ``weights[v]`` may be a scalar (uniform blending: zero streaming) or a
     full (Z, Y, X) stack (streamed in z-chunks like the view).  Math is
-    identical to deconv.rl.deconvolve(view_order='sequential').
+    identical to deconv.rl.deconvolve(view_order='sequential');
+    ``elementwise`` selects the RL update implementation ('jnp' XLA-fused
+    chain / 'pallas' single-pass kernel), semantically identical.
     """
     shape = tuple(int(s) for s in np.shape(psi))
     engine = _resolve_engine(algorithm, shape)
@@ -152,6 +187,7 @@ def deconvolve_interleaved(
         k1h = [rfft3(wrap_kernel(jnp.asarray(k, jnp.float32), shape)) for k in kernels1]
         k2h = [rfft3(wrap_kernel(jnp.asarray(k, jnp.float32), shape)) for k in kernels2]
         convolve = lambda x, op: _convolve_fft(x, *op)
+        convolve_keep = lambda x, op: _convolve_fft_keep(x, *op)
         ops1, ops2 = [(h,) for h in k1h], [(h,) for h in k2h]
     elif engine == "fused":
         from ..core import dft as _dft
@@ -166,24 +202,30 @@ def deconvolve_interleaved(
         convolve = lambda x, op: _convolve_fused(
             x, *op, interpret=interp, precision=prec
         )
+        convolve_keep = lambda x, op: _convolve_fused_keep(
+            x, *op, interpret=interp, precision=prec
+        )
     else:
         ops1 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels1]
         ops2 = [kernel_spectrum_split(jnp.asarray(k, jnp.float32), shape) for k in kernels2]
         convolve = lambda x, op: _convolve_dft(x, *op)
+        convolve_keep = lambda x, op: _convolve_dft_keep(x, *op)
 
     w_scalars: List = []
     for w in weights:
         w_arr = np.asarray(w, np.float32)
         w_scalars.append(float(w_arr) if w_arr.ndim == 0 else None)
 
+    _update_chunk, _update_scalar = _update_fns(elementwise)
     psi_dev = jnp.asarray(np.asarray(psi, np.float32))
     bounds = _chunk_bounds(shape[0], int(chunk_z))
 
     for _ in range(num_iterations):
         for v in range(V):
-            # blurred = psi (x) k1 — in-core on device (psi NOT donated:
-            # the update step still reads it)
-            blurred = convolve(psi_dev + 0.0, ops1[v])
+            # blurred = psi (x) k1 — in-core on device via the
+            # non-donating variant (psi survives for the update step; no
+            # defensive copy needed)
+            blurred = convolve_keep(psi_dev, ops1[v])
             # quotient assembled chunk-wise; each H2D is dispatched async
             # so chunk i+1's upload overlaps chunk i's divide (the kick)
             quotient = jnp.empty(shape, jnp.float32)

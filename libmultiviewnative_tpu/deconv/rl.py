@@ -121,9 +121,9 @@ def fused_eligible(spatial_shape) -> bool:
     which is correct but orders of magnitude slower than the fft engine,
     so 'auto' never picks it there."""
     Z, Y, X = (int(s) for s in spatial_shape[-3:])
+    # axes % 8 implies even X, the other kernel constraint
     return (
-        X % 2 == 0
-        and Z % 8 == 0
+        Z % 8 == 0
         and Y % 8 == 0
         and X % 8 == 0
         and jax.default_backend() != "cpu"

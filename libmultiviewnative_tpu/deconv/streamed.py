@@ -77,18 +77,26 @@ def _smooth(n: int) -> bool:
     return n == 1
 
 
-def pick_chunk_z(Z: int, lo: int, hi: int) -> int:
-    """Chunk size whose EXTENDED extent (chunk + halos) is engine-friendly.
+def pick_chunk_z(Z: int, halo_pairs) -> int:
+    """Chunk size whose EXTENDED extent (chunk + halos) is engine-friendly
+    for EVERY pass.
 
-    The z-extent the device actually transforms is chunk + lo + hi; a
-    naive power-of-two chunk makes it 2^k + (kernel-1), which lands on
-    Bluestein-fallback sizes for the fft engine (measured: 4-view 512^3
-    with chunk 128 -> ext 148 = 4*37 ran 400+ s/iteration).  Pick the
-    largest chunk <= min(Z, 256 - halos) with a 5-smooth extended extent —
-    <=256 also keeps the 'auto' chunk engine on the dense-DFT MXU path."""
-    cap = min(Z, 256 - lo - hi)
+    ``halo_pairs``: iterable of per-kernel (lo, hi) — each chunked pass
+    transforms chunk + its own kernel's halos, so a chunk smooth only for
+    the max-halo kernel still lands the other pass on slow sizes (e.g.
+    21^3/25^3 kernels at 512^3: chunk 232 gives 256 for the 25^3 pass but
+    252 = 2^2*3^2*7 for the 21^3 one).  A naive power-of-two chunk is
+    worse still: 2^k + (kernel-1) hits Bluestein-fallback sizes (measured:
+    4-view 512^3 with chunk 128 -> ext 148 = 4*37 ran 400+ s/iteration).
+    Pick the largest chunk <= min(Z, 256 - max halos) with a 5-smooth
+    extended extent for every pair — <=256 also keeps the 'auto' chunk
+    engine on the dense-DFT MXU path."""
+    pairs = sorted({(int(lo), int(hi)) for lo, hi in halo_pairs})
+    if not pairs:
+        return min(Z, 256)
+    cap = min(Z, 256 - max(lo + hi for lo, hi in pairs))
     for c in range(cap, 15, -1):
-        if _smooth(c + lo + hi):
+        if all(_smooth(c + lo + hi) for lo, hi in pairs):
             return c
     return max(cap, 1)
 
@@ -187,6 +195,11 @@ def _streamed_pass(
     bounds = _chunk_bounds(Z, chunk)
     pending: List[Tuple[int, int, jnp.ndarray]] = []
     for z0, z1 in bounds:
+        # drain the oldest BEFORE dispatching the next chunk so at most
+        # INFLIGHT chunk working sets are ever live on the device
+        if len(pending) >= INFLIGHT:
+            p0, p1, r = pending.pop(0)
+            out[p0:p1] = np.asarray(r)
         bz = z1 - z0
         ext_shape = (bz + lo + hi,) + src.shape[1:]
         algo = _resolve_chunk_algorithm(algorithm, ext_shape)
@@ -196,9 +209,6 @@ def _streamed_pass(
             ext, *k_ops, *extra_per_chunk(z0, z1), out_z=bz, lo=lo
         )
         pending.append((z0, z1, res))
-        if len(pending) > INFLIGHT:
-            p0, p1, r = pending.pop(0)
-            out[p0:p1] = np.asarray(r)
     for p0, p1, r in pending:
         out[p0:p1] = np.asarray(r)
     return out
@@ -229,9 +239,9 @@ def deconvolve_streamed(
     psi = np.array(psi, np.float32, copy=True)
     if chunk_z == "auto":
         halos = [halo_widths(np.shape(k)) for ks in (kernels1, kernels2) for k in ks]
-        lo = max(h[0][0] for h in halos)
-        hi = max(h[1][0] for h in halos)
-        chunk_z = pick_chunk_z(psi.shape[0], lo, hi)
+        chunk_z = pick_chunk_z(
+            psi.shape[0], [(h[0][0], h[1][0]) for h in halos]
+        )
     quotient = np.empty_like(psi)
 
     upd_fns = _update_chunk_fns(elementwise)

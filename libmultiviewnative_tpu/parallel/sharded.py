@@ -128,6 +128,14 @@ def deconvolve_sharded(
             f"Z block {bz} smaller than PSF halo "
             f"{max(lo1, hi1, lo2, hi2)}; use fewer z shards"
         )
+    if algorithm not in ("fft", "dft", "auto"):
+        # the Z-block overlap-save engines are fft/dft; a 'direct' or
+        # 'fused' (or typo'd) request must not silently become fft —
+        # mirror the in-core driver's unknown-algorithm error
+        raise ValueError(
+            f"sharded rung supports algorithm 'fft'|'dft'|'auto', got "
+            f"{algorithm!r}"
+        )
     from ..deconv.rl import _select_rl_update
 
     update_fn = _select_rl_update(elementwise)

@@ -336,3 +336,81 @@ def test_auto_interleaved_rung_matches(rng, monkeypatch):
     assert called.get("yes")
     ref = deconvolve_jit(psi0, data, num_iterations=2, algorithm="fft")
     assert rms(np.asarray(out), np.asarray(ref)) < 1e-4
+
+
+def test_fused_honored_on_interleaved_rung(rng, monkeypatch):
+    """The interleaved rung supports the fused engine: an explicit
+    'fused' request served there must pass through with NO divergence
+    warning (and match the in-core fused result)."""
+    import warnings as _w
+
+    from libmultiviewnative_tpu.deconv.dispatch import (
+        DispatchDivergenceWarning,
+        estimate_interleaved_bytes,
+    )
+
+    data = _data(rng)
+    psi0 = jnp.full(data.spatial_shape, 100.0, jnp.float32)
+    est_il = estimate_interleaved_bytes(data, "fused")
+    est_ic = estimate_workspace_bytes(data, "fused")
+    cap = (est_il + est_ic) // 2
+    monkeypatch.setattr(
+        "libmultiviewnative_tpu.deconv.dispatch.device_capacity_bytes",
+        lambda device=None: int(cap / 0.9) + 1,
+    )
+    monkeypatch.setattr("jax.device_count", lambda: 1)
+    with _w.catch_warnings():
+        _w.simplefilter("error", DispatchDivergenceWarning)
+        out = deconvolve_auto(
+            psi0, data, num_iterations=2, algorithm="fused", chunk_z=8
+        )
+    ref = deconvolve_jit(psi0, data, num_iterations=2, algorithm="fused")
+    assert rms(np.asarray(out), np.asarray(ref)) < 1e-4
+
+
+def test_sharded_rung_rejects_unsupported_engine(rng):
+    """deconvolve_sharded must not silently serve 'direct'/'fused'/typos
+    with the fft path."""
+    from libmultiviewnative_tpu.parallel.sharded import (
+        deconvolve_sharded,
+        make_mesh,
+        shard_workspace,
+    )
+
+    data = _data(rng, V=2, shape=(16, 8, 8))
+    psi0 = jnp.full((16, 8, 8), 100.0, jnp.float32)
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    for bad in ("direct", "fused", "dtf"):
+        with pytest.raises(ValueError, match="sharded rung supports"):
+            deconvolve_sharded(psi_s, data_s, 1, mesh, algorithm=bad)
+
+
+def test_sequential_to_sharded_runs_weight_audit(rng, monkeypatch):
+    """A sequential request diverted to the (simultaneous) sharded rung
+    must run the unnormalized-weights audit EAGERLY at dispatch — the
+    in-rung check is skipped under jit."""
+    from libmultiviewnative_tpu.deconv.dispatch import DispatchDivergenceWarning
+    from libmultiviewnative_tpu.deconv.workspace import (
+        WeightNormalizationWarning,
+    )
+
+    V, shape = 2, (16, 8, 8)
+    data = _data(rng, V=V, shape=shape)
+    bad = MultiViewData(
+        views=data.views,
+        kernel1=data.kernel1,
+        kernel2=data.kernel2,
+        weights=jnp.full((V,) + shape, 1.0, jnp.float32),  # sums to 2
+    )
+    psi0 = jnp.full(shape, 100.0, jnp.float32)
+    est_ic = estimate_workspace_bytes(bad, "auto")
+    monkeypatch.setattr(
+        "libmultiviewnative_tpu.deconv.dispatch.device_capacity_bytes",
+        lambda device=None: int(est_ic / 2),
+    )
+    with pytest.warns(WeightNormalizationWarning):
+        with pytest.warns(DispatchDivergenceWarning):
+            deconvolve_auto(
+                psi0, bad, num_iterations=1, view_order="sequential"
+            )

@@ -79,3 +79,19 @@ def test_streamed_from_h5_disk(tmp_path, rng):
         psi0, views, k1s, k2s, ws, num_iterations=2, lam=0.006, chunk_z=4
     )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pick_chunk_z_smooth_for_every_kernel():
+    """The auto chunk must give a 5-smooth extended extent for EVERY
+    kernel pass, not just the max-halo one (the repo-standard 21^3/25^3
+    pair at 512^3 regressed exactly this way: chunk 232 made the 25^3
+    pass 256 but the 21^3 pass 252 = 2^2*3^2*7)."""
+    from libmultiviewnative_tpu.deconv.streamed import _smooth, pick_chunk_z
+
+    pairs = [(10, 10), (12, 12)]  # 21^3 and 25^3 halos
+    c = pick_chunk_z(512, pairs)
+    for lo, hi in pairs:
+        assert _smooth(c + lo + hi), (c, lo, hi)
+    # single-pair behaviour unchanged
+    c1 = pick_chunk_z(512, [(12, 12)])
+    assert _smooth(c1 + 24)
