@@ -773,7 +773,10 @@ def kernel_spectrum_fused(
 # double-buffers block DMA across steps (measured +28% on the pure-copy
 # floor of a (Kx, Z, M) pass on v5e: 625 -> 801 GB/s)
 _PARAMS = pltpu.CompilerParams(
-    vmem_limit_bytes=100 * 1024 * 1024,
+    # 112 MB of the v5e's 128 MB VMEM: the 512-class CQA pass at f32
+    # ('highest') needs ~107 MB scoped; 100 MB compiled bf16_3x but OOM'd
+    # the default-precision compile
+    vmem_limit_bytes=112 * 1024 * 1024,
     dimension_semantics=("parallel",),
 )
 _VMEM = pltpu.VMEM

@@ -6,14 +6,22 @@ anywhere; real-chip benches live in bench.py (this is the tier the
 reference lacks entirely, SURVEY.md §4).
 """
 
+import os
+
 import jax
 
 # Force the pure CPU backend with 8 virtual devices.  jax.config.update is
 # required (not just env vars): this image's TPU-tunnel shim re-selects its
 # platform via jax.config at interpreter startup, which overrides
 # JAX_PLATFORMS from the environment.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+#
+# Exception: the opt-in perf gates (tests/test_perf_gates.py) need the
+# REAL accelerator — LMVN_PERF_GATES=1 keeps the default platform for
+# that dedicated invocation (run only that file; the rest of the suite
+# expects the 8-device CPU mesh).
+if os.environ.get("LMVN_PERF_GATES") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
