@@ -80,8 +80,9 @@ def estimate_workspace_bytes(data: MultiViewData, algorithm: str = "fft") -> int
 
 def estimate_interleaved_bytes(data: MultiViewData, algorithm: str = "auto") -> int:
     """Device working set of the interleaved rung (deconv.interleaved):
-    psi + 3 temporaries + both kernel-spectrum sets — views/weights stay
-    host-resident and stream through in chunks."""
+    psi + 3 temporaries + the current and prefetched view's chunk uploads
+    (the cross-view kick) + both kernel-spectrum sets — views/weights
+    stay host-resident and stream through in chunks."""
     spatial = data.spatial_shape
     vol = 4 * math.prod(spatial)
     V = data.num_views
@@ -96,7 +97,7 @@ def estimate_interleaved_bytes(data: MultiViewData, algorithm: str = "auto") -> 
     spectrum_vols = (
         2 if algo == "fused" or (algo == "dft" and max(spatial) > 256) else 1
     )
-    return (4 + 2 * V * spectrum_vols) * vol
+    return (6 + 2 * V * spectrum_vols) * vol
 
 
 def device_capacity_bytes(device=None) -> int:

@@ -220,29 +220,53 @@ def deconvolve_interleaved(
     psi_dev = jnp.asarray(np.asarray(psi, np.float32))
     bounds = _chunk_bounds(shape[0], int(chunk_z))
 
+    def upload_view(v):
+        """Issue ASYNC H2D for all of view v's chunks (device_put returns
+        immediately; the DMA rides behind whatever the device is doing)."""
+        return [
+            jax.device_put(np.ascontiguousarray(views[v][z0:z1]))
+            for z0, z1 in bounds
+        ]
+
+    # the reference's cross-view prefetch "kick"
+    # (inc/gpu_convolve.cuh:57-98): view v+1's uploads are dispatched
+    # while view v computes, so on a host-attached TPU the next view's
+    # H2D fully overlaps the current view's two convolves.  Costs one
+    # extra view volume of HBM (accounted in
+    # dispatch.estimate_interleaved_bytes).
+    chunks = upload_view(0)
+    step = 0
+    total_steps = num_iterations * V
     for _ in range(num_iterations):
         for v in range(V):
+            step += 1
             # blurred = psi (x) k1 — in-core on device via the
             # non-donating variant (psi survives for the update step; no
             # defensive copy needed)
             blurred = convolve_keep(psi_dev, ops1[v])
-            # quotient assembled chunk-wise; each H2D is dispatched async
-            # so chunk i+1's upload overlaps chunk i's divide (the kick)
+            if step < total_steps:
+                next_chunks = upload_view((v + 1) % V)
+            # quotient assembled chunk-wise from the prefetched uploads
             quotient = jnp.empty(shape, jnp.float32)
-            view_v = views[v]
-            for z0, z1 in bounds:
-                chunk = jnp.asarray(np.ascontiguousarray(view_v[z0:z1]))
+            for (z0, z1), chunk in zip(bounds, chunks):
                 quotient = _quot_chunk(quotient, chunk, blurred, z0)
-            del blurred
+            del blurred, chunks
             integral = convolve(quotient, ops2[v])
+            if step < total_steps:
+                chunks = next_chunks
             if w_scalars[v] is not None:
                 psi_dev = _update_scalar(
                     psi_dev, integral, w_scalars[v], lam, min_value
                 )
             else:
+                # per-voxel weights: issue ALL chunk uploads first (they
+                # overlap the conv2 still in flight), then chain updates
                 w_v = weights[v]
-                for z0, z1 in bounds:
-                    wc = jnp.asarray(np.ascontiguousarray(w_v[z0:z1]))
+                wcs = [
+                    jax.device_put(np.ascontiguousarray(w_v[z0:z1]))
+                    for z0, z1 in bounds
+                ]
+                for (z0, z1), wc in zip(bounds, wcs):
                     psi_dev = _update_chunk(
                         psi_dev, integral, wc, z0, lam, min_value
                     )
