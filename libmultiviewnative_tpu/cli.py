@@ -54,7 +54,14 @@ def main(argv=None) -> int:
     p.add_argument("--lambda", dest="lambda_", type=float, default=0.006)
     p.add_argument("--min_value", type=float, default=1e-4)
     p.add_argument("--algorithm", default="auto",
-                   choices=["auto", "fft", "dft", "direct"])
+                   choices=["auto", "fft", "dft", "fused", "direct"])
+    p.add_argument("--dispatch", default="incore", choices=["incore", "auto"],
+                   help="'auto' = capacity ladder (in-core / mesh-sharded "
+                        "/ interleaved / streamed, deconv.dispatch); "
+                        "'incore' = single-device program (default)")
+    p.add_argument("--strict", action="store_true",
+                   help="with --dispatch auto: error instead of warning "
+                        "when a rung cannot honor a requested option")
     p.add_argument("--view_order", default="sequential",
                    choices=["sequential", "simultaneous"])
     p.add_argument("--init", default="average",
@@ -126,15 +133,29 @@ def main(argv=None) -> int:
     else:
         psi0 = initial_psi(data, args.init)
 
-    out = deconvolve_jit(
-        psi0,
-        data,
-        num_iterations=args.iterations,
-        lam=args.lambda_,
-        min_value=args.min_value,
-        view_order=args.view_order,
-        algorithm=args.algorithm,
-    )
+    if args.dispatch == "auto":
+        from .deconv.dispatch import deconvolve_auto
+
+        out = deconvolve_auto(
+            psi0,
+            data,
+            num_iterations=args.iterations,
+            lam=args.lambda_,
+            min_value=args.min_value,
+            view_order=args.view_order,
+            algorithm=args.algorithm,
+            strict=args.strict,
+        )
+    else:
+        out = deconvolve_jit(
+            psi0,
+            data,
+            num_iterations=args.iterations,
+            lam=args.lambda_,
+            min_value=args.min_value,
+            view_order=args.view_order,
+            algorithm=args.algorithm,
+        )
     result = np.asarray(out)
     if args.output.endswith((".h5", ".hdf5")):
         from .io.stacks import save_stack_h5

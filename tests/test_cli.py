@@ -100,3 +100,25 @@ def test_cli_rejects_even_psf_without_kernel2(tmp_path):
     write_tiff_stack(kp, psf)
     with pytest.raises(SystemExit):
         cli_main(["--view", vp, "--psf", kp, "-o", str(tmp_path / "o.tif")])
+
+
+def test_cli_dispatch_auto(tmp_path):
+    """--dispatch auto routes through the capacity ladder (in-core here)
+    and produces the same result as the in-core path."""
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(5)
+    view = rng.gamma(2.0, 20.0, shape).astype(np.float32)
+    psf = gaussian_kernel((5, 5, 5), 1.0)
+    vp, kp = str(tmp_path / "v.tif"), str(tmp_path / "k.tif")
+    write_tiff_stack(vp, view)
+    write_tiff_stack(kp, psf)
+    outs = []
+    for mode in ("incore", "auto"):
+        op = str(tmp_path / f"out_{mode}.tif")
+        rc = cli_main([
+            "--view", vp, "--psf", kp, "-o", op, "-i", "2",
+            "--dispatch", mode,
+        ])
+        assert rc == 0
+        outs.append(read_tiff_stack(op))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
