@@ -101,6 +101,27 @@ def main():
     )
     from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
 
+    # the tunneled TPU's relay can die in a mode where backend init HANGS
+    # forever in C code (not even SIGALRM-interruptible; CLAUDE.md
+    # quirks).  Probe the relay's socket BEFORE any backend init and fall
+    # back to CPU when it is unreachable, so the bench always emits its
+    # JSON lines instead of wedging the driver.
+    import socket
+
+    relay = os.environ.get("LMVN_RELAY_PROBE", "127.0.0.1:8083")
+    host, port = relay.rsplit(":", 1)
+    try:
+        socket.create_connection((host, int(port)), timeout=10).close()
+        relay_up = True
+    except OSError:
+        relay_up = False
+    if not relay_up:
+        print(
+            f"# TPU relay {relay} unreachable; falling back to CPU",
+            flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
     dev = jax.devices()[0]
     on_tpu = dev.platform in ("tpu", "axon")
 
