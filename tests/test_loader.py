@@ -113,3 +113,29 @@ def test_h5_and_scalar_weights_sources(tmp_path):
     np.testing.assert_allclose(
         float(np.asarray(psi)[0, 0, 0]), float(np.mean(np.stack(views))), rtol=1e-5
     )
+
+
+def test_tiff_and_npz_sources(tmp_path):
+    """as_reader handles whole-file formats (TIFF, NPZ) and the loader
+    assembles them identically to in-memory arrays."""
+    from libmultiviewnative_tpu.io.stacks import (
+        save_stack_npz,
+        write_tiff_stack,
+    )
+
+    views, k1, k2, _ = _problem(seed=9)
+    srcs = []
+    for v, arr in enumerate(views):
+        if v % 2 == 0:
+            p = tmp_path / f"view_{v}.tif"
+            write_tiff_stack(str(p), arr)
+            srcs.append(str(p))
+        else:
+            p = tmp_path / f"view_{v}.npz"
+            save_stack_npz(str(p), view=arr)
+            srcs.append(f"{p}:view")
+
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    readers = [as_reader(s) for s in srcs]
+    got = np.asarray(make_sharded_stack(mesh, readers, SHAPE))
+    np.testing.assert_allclose(got, np.stack(views), rtol=1e-6)
