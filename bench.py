@@ -110,11 +110,20 @@ def main():
 
     relay = os.environ.get("LMVN_RELAY_PROBE", "127.0.0.1:8083")
     host, port = relay.rsplit(":", 1)
-    try:
-        socket.create_connection((host, int(port)), timeout=10).close()
-        relay_up = True
-    except OSError:
-        relay_up = False
+    # poll for up to LMVN_RELAY_WAIT seconds (outages usually recover in
+    # minutes) before settling for the honest CPU fallback
+    deadline = time.monotonic() + float(os.environ.get("LMVN_RELAY_WAIT", "600"))
+    relay_up = False
+    while True:
+        try:
+            socket.create_connection((host, int(port)), timeout=10).close()
+            relay_up = True
+            break
+        except OSError:
+            if time.monotonic() >= deadline:
+                break
+            print(f"# TPU relay {relay} down; retrying...", flush=True)
+            time.sleep(15)
     if not relay_up:
         print(
             f"# TPU relay {relay} unreachable; falling back to CPU",
