@@ -134,6 +134,12 @@ class FusedPlan(NamedTuple):
     shape: Tuple[int, int, int]  # (Z, Y, X)
     kxh: int  # Kx = X//2 + 1 (hermitian half)
     kxp: int  # Kx rounded up to a multiple of 8
+    # hermitian-fold mode (fold_x=True): fxp becomes the stacked
+    # (2*Kxp, Hp) fold matrices [Cfold; Sfold] and bxp the stacked
+    # (2*Hp, Kxp) inverse pair [Cinv; Sinv] — each x matmul's contraction
+    # halves (docs/ROADMAP.md; identities proven in tests/test_fold_design)
+    fold: bool = False
+    hp: int = 0  # fold row stride: H+1 rounded up to a multiple of 8
 
     @property
     def kx(self) -> int:
@@ -177,9 +183,14 @@ def _make_split(n: int, split: Tuple[int, int]) -> SplitSpec:
 def make_fused_plan(
     shape: Tuple[int, int, int],
     splits: Tuple[Tuple[int, int], Tuple[int, int]] = None,
+    fold_x: bool = False,
 ) -> FusedPlan:
     """``splits``: ((Rz, Mz), (Ry, My)) or None for the measured default
-    (:func:`pick_split` per axis)."""
+    (:func:`pick_split` per axis).  ``fold_x`` builds the hermitian-fold
+    x matrices (halved contraction depth — the 512-class lever,
+    docs/ROADMAP.md) instead of the packed dense pair; EXPERIMENTAL,
+    correctness-tested in interpret mode, awaiting hardware measurement
+    (a tunnel outage blocked it in round 2)."""
     Z, Y, X = (int(s) for s in shape)
     kx = X // 2 + 1
     if splits is None:
@@ -194,12 +205,30 @@ def make_fused_plan(
         w[-1] = 1.0
 
     kxp = -(-kx // 8) * 8  # 8-sublane-aligned pack stride
-    fxp = np.zeros((2 * kxp, X), np.float32)
-    fxp[:kx] = np.cos(tx)
-    fxp[kxp : kxp + kx] = -np.sin(tx)
-    bxp = np.zeros((X, 2 * kxp), np.float32)
-    bxp[:, :kx] = (w[None, :] * np.cos(tx).T) / X
-    bxp[:, kxp : kxp + kx] = -(w[None, :] * np.sin(tx).T) / X
+    H = X // 2
+    hp = 0
+    if fold_x:
+        if X % 2:
+            raise ValueError("fold_x requires even X")
+        hp = -(-(H + 1) // 8) * 8
+        # forward: t_re = Cf @ e, t_im = Sf @ o (tests/test_fold_design)
+        fxp = np.zeros((2 * kxp, hp), np.float32)
+        fxp[:kx, : H + 1] = np.cos(tx[:, : H + 1])  # n = 0..H
+        fxp[kxp : kxp + kx, : H - 1] = -np.sin(tx[:, 1:H])  # n = 1..H-1
+        # inverse: ev = Ci @ re, od = Si @ im; out = [ev+od; flip(ev-od)]
+        bxp = np.zeros((2 * hp, kxp), np.float32)
+        n_half = np.arange(H + 1)
+        k = np.arange(kx)
+        tn = 2.0 * np.pi * np.outer(n_half, k) / X
+        bxp[: H + 1, :kx] = (np.cos(tn) * w[None, :]) / X
+        bxp[hp : hp + H + 1, :kx] = -(np.sin(tn) * w[None, :]) / X
+    else:
+        fxp = np.zeros((2 * kxp, X), np.float32)
+        fxp[:kx] = np.cos(tx)
+        fxp[kxp : kxp + kx] = -np.sin(tx)
+        bxp = np.zeros((X, 2 * kxp), np.float32)
+        bxp[:, :kx] = (w[None, :] * np.cos(tx).T) / X
+        bxp[:, kxp : kxp + kx] = -(w[None, :] * np.sin(tx).T) / X
 
     with jax.ensure_compile_time_eval():
         f32 = lambda a: jnp.asarray(a, jnp.float32)
@@ -211,6 +240,8 @@ def make_fused_plan(
             shape=(Z, Y, X),
             kxh=kx,
             kxp=kxp,
+            fold=fold_x,
+            hp=hp,
         )
 
 
@@ -378,26 +409,60 @@ def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_x(fxp, p, kxp: int, precision):
-    """Packed x-rfft of a real plane: one (2*Kxp, X) @ (X, Y) product
-    instead of separate cos/sin matmuls (25% fewer MXU row-tile passes at
-    Kx = 128+1-class sizes).  Returns ALIGNED (Kxp, Y) halves — pad rows
-    (fxp rows Kx..Kxp) are zero and stay zero through the pipeline."""
+def _fold_eo(p, hp: int):
+    """Hermitian fold of a real x-column block (rows = x): e[n] = p[n] +
+    p[X-n] (n=0..H, endpoints unpaired), o[n] = p[n] - p[X-n] (n=1..H-1),
+    both zero-padded to the aligned ``hp`` rows.  One sublane flip + one
+    add/sub — the VPU cost that buys halved x-matmul contraction
+    (identities: tests/test_fold_design.py)."""
+    X, W = p.shape
+    H = X // 2
+    core = p[1:H]
+    tail = p[H + 1 :][::-1]
+    parts_e = [p[0:1], core + tail, p[H : H + 1]]
+    if hp > H + 1:
+        parts_e.append(jnp.zeros((hp - (H + 1), W), p.dtype))
+    e = jnp.concatenate(parts_e, axis=0)
+    o = jnp.concatenate(
+        [core - tail, jnp.zeros((hp - (H - 1), W), p.dtype)], axis=0
+    )
+    return e, o
+
+
+def _fwd_x(fxp, p, kxp: int, precision, fold: bool = False, hp: int = 0):
+    """Packed x-rfft of a real plane.  Dense mode: one (2*Kxp, X) @ (X, Y)
+    product (25% fewer MXU row-tile passes at Kx = 128+1-class sizes).
+    Fold mode: two (Kxp, Hp) products on the folded even/odd parts —
+    contraction halved again (EXPERIMENTAL, see make_fused_plan).
+    Returns ALIGNED (Kxp, Y) halves — pad rows are zero and stay zero
+    through the pipeline."""
+    if fold:
+        e, o = _fold_eo(p, hp)
+        return _dot(fxp[:kxp], e, precision), _dot(fxp[kxp:], o, precision)
     t = _dot(fxp, p, precision)
     return t[:kxp], t[kxp:]
 
 
-def _inv_x(bxp, t_re, t_im, precision):
-    """Packed hermitian x-irfft: stack the (Kxp, M) halves — an aligned
-    concat — and contract once against (X, 2*Kxp): 3 contraction tiles
-    instead of 4.  bxp's pad columns are zero, so the pad rows of the
-    stacked operand are don't-cares."""
+def _inv_x(bxp, t_re, t_im, precision, fold: bool = False, hp: int = 0,
+           x: int = 0):
+    """Packed hermitian x-irfft.  Dense mode: stack the (Kxp, M) halves
+    (aligned concat) and contract once against (X, 2*Kxp) — 3 contraction
+    tiles instead of 4.  Fold mode: even/odd output parts from two
+    (Hp, Kxp) products, recombined with one flip (the forward fold's
+    mirror)."""
+    if fold:
+        H = x // 2
+        ev = _dot(bxp[:hp], t_re, precision)
+        od = _dot(bxp[hp:], t_im, precision)
+        top = (ev + od)[: H + 1]
+        bot = ((ev - od)[1:H])[::-1]
+        return jnp.concatenate([top, bot], axis=0)
     return _dot(bxp, jnp.concatenate([t_re, t_im], axis=0), precision)
 
 
 def _pass_a_kernel(
     x_ref, fxp_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    ure_ref, uim_ref, *, om_y, kxp, precision,
+    ure_ref, uim_ref, *, om_y, kxp, precision, fold=False, hp=0,
 ):
     """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kxp, B, M).
 
@@ -417,7 +482,9 @@ def _pass_a_kernel(
         # narrow lanes: Mosaic cannot lower the stacking concats
         # ("offset mismatch on non-concat dimension") — per-plane path
         for b in range(B):
-            t_re, t_im = _fwd_x(fxp, x_ref[b], kxp, precision)
+            t_re, t_im = _fwd_x(
+                fxp, x_ref[b], kxp, precision, fold=fold, hp=hp
+            )
             blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
             blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
             o_re, o_im = _fwd_split_right(
@@ -428,13 +495,22 @@ def _pass_a_kernel(
                 uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
         return
     planes = jnp.concatenate([x_ref[b] for b in range(B)], axis=1)
-    t = _dot(fxp, planes, precision)  # (2Kxp, B*Y)
-    s_re = jnp.concatenate(
-        [t[:kxp, b * Y : (b + 1) * Y] for b in range(B)], axis=0
-    )  # (B*Kxp, Y)
-    s_im = jnp.concatenate(
-        [t[kxp:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
-    )
+    if fold:
+        t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
+        s_re = jnp.concatenate(
+            [t_re[:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+        )
+        s_im = jnp.concatenate(
+            [t_im[:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+        )
+    else:
+        t = _dot(fxp, planes, precision)  # (2Kxp, B*Y)
+        s_re = jnp.concatenate(
+            [t[:kxp, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+        )  # (B*Kxp, Y)
+        s_im = jnp.concatenate(
+            [t[kxp:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+        )
     blk_re = [s_re[:, r * M : (r + 1) * M] for r in range(R)]
     blk_im = [s_im[:, r * M : (r + 1) * M] for r in range(R)]
     out_re, out_im = _fwd_split_right(
@@ -518,9 +594,20 @@ def _stack_freq_blocks(re_ref, im_ref, B, R, M, kxp):
     return blk_re, blk_im
 
 
-def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision):
-    """Row-stacked (B*Kxp, M) halves -> (X, B*M) spatial planes via ONE
-    packed contraction (plane b = lane block [b*M, (b+1)*M))."""
+def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision, fold: bool = False,
+                  hp: int = 0, x: int = 0):
+    """Row-stacked (B*Kxp, M) halves -> (X, B*M) spatial planes.  Dense
+    mode: ONE packed contraction (plane b = lane block [b*M, (b+1)*M)).
+    Fold mode: lane-pack re and im separately and recombine even/odd
+    output parts (row ops are plane-agnostic across the lane packing)."""
+    if fold:
+        re_pack = jnp.concatenate(
+            [s_re[b * kxp : (b + 1) * kxp] for b in range(B)], axis=1
+        )  # (Kxp, B*M)
+        im_pack = jnp.concatenate(
+            [s_im[b * kxp : (b + 1) * kxp] for b in range(B)], axis=1
+        )
+        return _inv_x(bxp, re_pack, im_pack, precision, fold=True, hp=hp, x=x)
     packed = jnp.concatenate(
         [
             jnp.concatenate(
@@ -534,10 +621,21 @@ def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision):
     return _dot(bxp, packed, precision)
 
 
-def _fwd_x_planes(fxp, planes, B, kxp, precision):
-    """(X, B*W) spatial planes -> row-stacked (B*Kxp, W) halves via ONE
-    packed product."""
+def _fwd_x_planes(fxp, planes, B, kxp, precision, fold: bool = False,
+                  hp: int = 0):
+    """(X, B*W) spatial planes -> row-stacked (B*Kxp, W) halves.  The
+    fold rows act identically on lane-packed planes, so both modes run
+    their x matmuls once per slab."""
     W = planes.shape[1] // B
+    if fold:
+        t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
+        s_re = jnp.concatenate(
+            [t_re[:, b * W : (b + 1) * W] for b in range(B)], axis=0
+        )
+        s_im = jnp.concatenate(
+            [t_im[:, b * W : (b + 1) * W] for b in range(B)], axis=0
+        )
+        return s_re, s_im
     t = _dot(fxp, planes, precision)  # (2*Kxp, B*W)
     s_re = jnp.concatenate(
         [t[:kxp, b * W : (b + 1) * W] for b in range(B)], axis=0
@@ -550,7 +648,7 @@ def _fwd_x_planes(fxp, planes, B, kxp, precision):
 
 def _pass_c_kernel(
     ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
-    bxp_ref, out_ref, *, om_yi, kxp, precision,
+    bxp_ref, out_ref, *, om_yi, kxp, precision, fold=False, hp=0,
 ):
     """split y-inverse + hermitian x-irfft for one z-slab, PLANE-BATCHED
     (see _pass_a_kernel).  u (Kxp, B, M) -> out (B, X, Y)."""
@@ -568,13 +666,17 @@ def _pass_c_kernel(
             )
             for r in range(R):
                 out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
-                    bxp, t_re[r], t_im[r], precision
+                    bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    x=out_ref.shape[1],
                 )
         return
     blk_re, blk_im = _stack_freq_blocks(ure_ref, uim_ref, B, R, M, kxp)
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, twr, twi, om_yi, precision)
     for r in range(R):
-        out = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        out = _inv_x_planes(
+            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
+            x=out_ref.shape[1],
+        )
         for b in range(B):
             out_ref[b, :, r * M : (r + 1) * M] = out[:, b * M : (b + 1) * M]
 
@@ -586,7 +688,7 @@ def _pass_cqa_kernel(
     fxp_ref,  # packed x-forward consts
     fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
     ure_ref, uim_ref,
-    *, om_yi, om_yf, kxp, precision,
+    *, om_yi, om_yf, kxp, precision, fold=False, hp=0,
 ):
     """Fused pass C (conv1 inverse) + compute_quotient + pass A (conv2
     forward) for one z-slab: v1 (Kx, B, M) + view (B, X, Y) -> u2
@@ -614,9 +716,14 @@ def _pass_cqa_kernel(
             )
             q_re, q_im = [], []
             for r in range(R):
-                blurred = _inv_x(bxp, t_re[r], t_im[r], precision)
+                blurred = _inv_x(
+                    bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    x=view_ref.shape[1],
+                )
                 quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
-                f_re, f_im = _fwd_x(fxp, quot, kxp, precision)
+                f_re, f_im = _fwd_x(
+                    fxp, quot, kxp, precision, fold=fold, hp=hp
+                )
                 q_re.append(f_re)
                 q_im.append(f_im)
             o_re, o_im = _fwd_split_right(
@@ -630,12 +737,17 @@ def _pass_cqa_kernel(
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
     q_re, q_im = [], []
     for r in range(R):
-        blurred = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        blurred = _inv_x_planes(
+            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
+            x=view_ref.shape[1],
+        )
         view_r = jnp.concatenate(
             [view_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
         )  # (X, B*M)
         quot = view_r * (1.0 / blurred)
-        s_re, s_im = _fwd_x_planes(fxp, quot, B, kxp, precision)
+        s_re, s_im = _fwd_x_planes(
+            fxp, quot, B, kxp, precision, fold=fold, hp=hp
+        )
         q_re.append(s_re)
         q_im.append(s_im)
     out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
@@ -672,7 +784,8 @@ def _pass_cu_kernel(
     vre_ref, vim_ref, psi_ref, w_ref,
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
     bxp_ref, out_ref,
-    *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float, precision,
+    *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float,
+    precision, fold=False, hp=0,
 ):
     """Fused pass C (conv2 inverse) + RL update for one z-slab,
     PLANE-BATCHED: v2 (Kxp, B, M) + psi/weights slabs -> psi' (B, X, Y).
@@ -691,7 +804,10 @@ def _pass_cu_kernel(
                 blk_re, blk_im, wi, itr, iti, om_yi, precision
             )
             for r in range(R):
-                integral = _inv_x(bxp, t_re[r], t_im[r], precision)
+                integral = _inv_x(
+                    bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    x=out_ref.shape[1],
+                )
                 psi = psi_ref[b, :, r * M : (r + 1) * M]
                 w = (
                     w_scalar
@@ -705,7 +821,10 @@ def _pass_cu_kernel(
     blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
     t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
     for r in range(R):
-        integral = _inv_x_planes(bxp, t_re[r], t_im[r], B, kxp, precision)
+        integral = _inv_x_planes(
+            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
+            x=out_ref.shape[1],
+        )
         psi = jnp.concatenate(
             [psi_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
         )
@@ -805,12 +924,12 @@ def _run_pass_a(xt, plan, B, interpret, precision):
     return pl.pallas_call(
         functools.partial(
             _pass_a_kernel, om_y=sy.omf, kxp=plan.kxp,
-            precision=precision,
+            precision=precision, fold=plan.fold, hp=plan.hp,
         ),
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
-            _full((2 * plan.kxp, X)),
+            _full(tuple(plan.fxp.shape)),
             _full((sy.M, sy.M)),
             _full((sy.M, sy.M)),
             _full((sy.M, sy.M)),
@@ -885,7 +1004,7 @@ def _run_pass_bf(u_re, u_im, plan, interpret, precision):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision")
+    jax.jit, static_argnames=("interpret", "precision", "fold_x")
 )
 def fused_convolve_transposed(
     xt: jnp.ndarray,
@@ -893,6 +1012,7 @@ def fused_convolve_transposed(
     k_im: jnp.ndarray,
     interpret: bool = False,
     precision: str = "highest",
+    fold_x: bool = False,
 ) -> jnp.ndarray:
     """Circular convolution of a (Z, X, Y)-TRANSPOSED volume with a
     pre-forwarded (Kx, Q, M)-layout split spectrum (pre-permuted per
@@ -900,7 +1020,14 @@ def fused_convolve_transposed(
     volume.  The fast path — callers keep volumes transposed across the
     whole RL loop (see deconv.rl algorithm='fused')."""
     Z, X, Y = _check_transposed(xt)
-    plan = make_fused_plan((Z, Y, X))
+    # keep the default-mode lru_cache key identical to plain
+    # make_fused_plan(shape) calls (e.g. kernel_spectrum_fused) so the
+    # plan instance — and therefore its traced constants — stays shared
+    plan = (
+        make_fused_plan((Z, Y, X), fold_x=True)
+        if fold_x
+        else make_fused_plan((Z, Y, X))
+    )
     Kx = plan.kxp
     B = _slab(Z, X, Y)
     M = Y
@@ -917,7 +1044,7 @@ def fused_convolve_transposed(
     out = pl.pallas_call(
         functools.partial(
             _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
-            precision=precision,
+            precision=precision, fold=plan.fold, hp=plan.hp,
         ),
         grid=(Z // B,),
         in_specs=[
@@ -928,7 +1055,7 @@ def fused_convolve_transposed(
             full((sy.M, sy.M)),
             full((sy.R, sy.M)),
             full((sy.R, sy.M)),
-            full((X, 2 * plan.kxp)),
+            full(tuple(plan.bxp.shape)),
         ],
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=vmem
@@ -967,6 +1094,7 @@ def fused_rl_step_transposed(
     min_value: float,
     interpret: bool = False,
     precision: str = "highest",
+    fold_x: bool = False,
 ) -> jnp.ndarray:
     """One FULLY-FUSED RL view step on (Z, X, Y)-transposed volumes:
 
@@ -982,7 +1110,14 @@ def fused_rl_step_transposed(
     trace-static Python floats.
     """
     Z, X, Y = _check_transposed(psi_t)
-    plan = make_fused_plan((Z, Y, X))
+    # keep the default-mode lru_cache key identical to plain
+    # make_fused_plan(shape) calls (e.g. kernel_spectrum_fused) so the
+    # plan instance — and therefore its traced constants — stays shared
+    plan = (
+        make_fused_plan((Z, Y, X), fold_x=True)
+        if fold_x
+        else make_fused_plan((Z, Y, X))
+    )
     Kx = plan.kxp
     B = _slab(Z, X, Y)
     M = Y
@@ -1010,14 +1145,14 @@ def fused_rl_step_transposed(
     u_re, u_im = pl.pallas_call(
         functools.partial(
             _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
-            kxp=plan.kxp, precision=precision,
+            kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
         ),
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab()]
             + y_inv
-            + [_full((X, 2 * plan.kxp))]
-            + [_full((2 * plan.kxp, X))]
+            + [_full(tuple(plan.bxp.shape))]
+            + [_full(tuple(plan.fxp.shape))]
             + y_fwd
         ),
         out_specs=(kxblk(), kxblk()),
@@ -1048,12 +1183,13 @@ def fused_rl_step_transposed(
         functools.partial(
             _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
+            fold=plan.fold, hp=plan.hp,
         ),
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab(), w_spec]
             + y_inv
-            + [_full((X, 2 * plan.kxp))]
+            + [_full(tuple(plan.bxp.shape))]
         ),
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM

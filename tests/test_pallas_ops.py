@@ -180,3 +180,57 @@ def test_fused2_split_perm_identity_and_interleave():
     # position q*M+p holds frequency R*p+q
     p = split_perm(8, (2, 4))
     np.testing.assert_array_equal(p, [0, 2, 4, 6, 1, 3, 5, 7])
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 256, 32)], ids=str)
+def test_fused2_fold_x_matches_dense(shape, rng):
+    """fold_x=True (hermitian-fold x stages, halved matmul contraction —
+    the 512-class lever, docs/ROADMAP.md) must match the dense-mode
+    convolve to f32 accumulation noise.  EXPERIMENTAL: correctness-locked
+    here; hardware measurement pending (tunnel outage in round 2)."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_transposed,
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    Z, Y, X = shape
+    xt = jnp.asarray(
+        (rng.normal(size=(Z, X, Y)) + 3.0).astype(np.float32)
+    )
+    k = gaussian_kernel((5, 5, 5), 1.1)
+    kre, kim = kernel_spectrum_fused(jnp.asarray(k), shape)
+    dense = np.asarray(
+        fused_convolve_transposed(xt, kre, kim, interpret=True)
+    )
+    folded = np.asarray(
+        fused_convolve_transposed(xt, kre, kim, interpret=True, fold_x=True)
+    )
+    np.testing.assert_allclose(folded, dense, rtol=2e-5, atol=2e-5)
+
+
+def test_fused2_fold_x_rl_step(rng):
+    """The full fused RL view step agrees between fold and dense modes."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_rl_step_transposed,
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    shape = (16, 24, 32)  # (Z, Y, X)
+    shape_t = (16, 32, 24)
+    view = jnp.asarray(rng.gamma(2.0, 10.0, shape_t).astype(np.float32))
+    psi = jnp.asarray(np.full(shape_t, 40.0, np.float32))
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    s1 = kernel_spectrum_fused(jnp.asarray(k1), shape)
+    s2 = kernel_spectrum_fused(jnp.asarray(np.flip(k1).copy()), shape)
+    outs = [
+        np.asarray(
+            fused_rl_step_transposed(
+                psi, view, np.float32(0.5), s1, s2, 0.006, 1e-4,
+                interpret=True, fold_x=f,
+            )
+        )
+        for f in (False, True)
+    ]
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-4)
