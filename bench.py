@@ -42,7 +42,12 @@ def _baseline_lookup(metric):
     return None
 
 
-def _emit(metric, iters_per_sec):
+def _emit(metric, iters_per_sec, platform, fallback):
+    """One machine-readable row.  `platform` is the JAX backend that
+    actually ran the workload and `fallback` is True whenever the TPU
+    relay was unreachable and the CPU stand-in ran instead — so an
+    artifact reader can tell "CPU fallback" from "no speedup" without
+    parsing the metric name (round-2 verdict, Weak #1/#6)."""
     base = _baseline_lookup(metric)
     print(
         json.dumps(
@@ -50,7 +55,9 @@ def _emit(metric, iters_per_sec):
                 "metric": metric,
                 "value": round(iters_per_sec, 4),
                 "unit": "iterations/s",
-                "vs_baseline": round(iters_per_sec / base, 4) if base else 1.0,
+                "platform": platform,
+                "fallback": fallback,
+                "vs_baseline": round(iters_per_sec / base, 4) if base else None,
             }
         ),
         flush=True,
@@ -110,19 +117,30 @@ def main():
 
     relay = os.environ.get("LMVN_RELAY_PROBE", "127.0.0.1:8083")
     host, port = relay.rsplit(":", 1)
-    # poll for up to LMVN_RELAY_WAIT seconds (outages usually recover in
-    # minutes) before settling for the honest CPU fallback
-    deadline = time.monotonic() + float(os.environ.get("LMVN_RELAY_WAIT", "600"))
+    # poll before settling for the honest CPU fallback.  The observed
+    # severe outage mode lasted >1 h (CLAUDE.md quirks), so the default
+    # wait is 2 h — the driver's bench budget allows it, and a TPU line
+    # after a long wait beats a CPU line delivered promptly.
+    deadline = time.monotonic() + float(os.environ.get("LMVN_RELAY_WAIT", "7200"))
     relay_up = False
+    last_note = 0.0
     while True:
         try:
             socket.create_connection((host, int(port)), timeout=10).close()
             relay_up = True
             break
         except OSError:
-            if time.monotonic() >= deadline:
+            now = time.monotonic()
+            if now >= deadline:
                 break
-            print(f"# TPU relay {relay} down; retrying...", flush=True)
+            if now - last_note > 300:
+                remaining = int(deadline - now)
+                print(
+                    f"# TPU relay {relay} down; retrying for up to "
+                    f"{remaining}s more...",
+                    flush=True,
+                )
+                last_note = now
             time.sleep(15)
     if not relay_up:
         print(
@@ -133,6 +151,7 @@ def main():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform in ("tpu", "axon")
+    fallback = not relay_up
 
     V = 4
     iters = 10
@@ -169,7 +188,12 @@ def main():
         )
 
     value = _time_config(run, jnp, iters, reps=4)
-    _emit(f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed", value)
+    _emit(
+        f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
+        value,
+        platform=dev.platform,
+        fallback=fallback,
+    )
     del data, psi0
 
     if not on_tpu:
@@ -201,7 +225,12 @@ def main():
         )
 
     value = _time_config(run512, jnp, iters2, reps=2)
-    _emit(f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed", value)
+    _emit(
+        f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
+        value,
+        platform=dev.platform,
+        fallback=fallback,
+    )
 
 
 if __name__ == "__main__":

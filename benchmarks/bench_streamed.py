@@ -59,8 +59,15 @@ def main():
     ]
     k1s = [gaussian_kernel((21, 21, 21), 2.0 + 0.5 * v) for v in range(V)]
     k2s = [np.flip(k).copy() for k in k1s]
-    if args.scalar_weights:
+    if args.scalar_weights and args.mode == "interleaved":
         ws = [np.float32(1.0 / V) for _ in range(V)]
+    elif args.scalar_weights:
+        # the streamed rung slices weights[v][z0:z1] per chunk — scalars
+        # are not subscriptable there, so materialize the uniform stacks
+        # (host RAM only; the rung still streams them chunk-wise)
+        print("# --scalar-weights on the streamed rung: materializing "
+              "uniform weight stacks (the rung streams per-voxel weights)")
+        ws = [np.full((Z, Y, X), 1.0 / V, np.float32) for _ in range(V)]
     else:
         ws = [np.full((Z, Y, X), 1.0 / V, np.float32) for _ in range(V)]
     psi0 = np.full((Z, Y, X), float(np.mean(views[0])), np.float32)

@@ -63,7 +63,16 @@ def set_matmul_precision(name: str) -> None:
     affected program instead of silently reusing code compiled at the
     previous precision.  (DFT einsums still pass their precision
     explicitly; the config flip exists to invalidate the cache, and only
-    changes the default for ops that don't set precision themselves.)"""
+    changes the default for ops that don't set precision themselves.)
+
+    .. warning:: This flips the PROCESS-GLOBAL
+       ``jax_default_matmul_precision`` (as does importing the library
+       with ``LMVN_MATMUL_PRECISION`` set) — in a host application that
+       embeds this library, any of the application's own matmuls that do
+       not pin a precision will change numerics too.  Embedders who need
+       isolation should wrap library calls in
+       ``jax.default_matmul_precision(...)`` and leave this setter alone;
+       the library's own kernels are precision-pinned either way."""
     global _PREC
     _PREC = _PRECISIONS[name]  # KeyError on unknown name, before config flip
     jax.config.update("jax_default_matmul_precision", name)

@@ -149,7 +149,19 @@ def deconvolve_auto(
 
     est = estimate_workspace_bytes(data, algorithm)
     if adjoint_kernel2:
-        est -= data.num_views * 4 * math.prod(data.spatial_shape)
+        # Engine-aware discount: the split-spectrum engines (fused, or dft
+        # beyond the 256 dense limit) share the re part between k1 and
+        # conj(k1) and only re-materialize the negated im -> one f32 volume
+        # saved per view.  The fft engine (and the compact dft plan) still
+        # materializes a full conj(k1) half-spectrum per view, so assuming
+        # a saving there would undercount by ~V*vol right at the capacity
+        # boundary (advisor, round 2).
+        algo = resolve_algorithm(algorithm, data.spatial_shape)
+        split_spectra = algo == "fused" or (
+            algo == "dft" and max(data.spatial_shape) > 256
+        )
+        if split_spectra:
+            est -= data.num_views * 4 * math.prod(data.spatial_shape)
         if any(int(d) % 2 == 0 for d in data.kernel1.shape[-3:]):
             raise ValueError(
                 "adjoint_kernel2 requires odd kernel1 dims; got "

@@ -98,7 +98,23 @@ def pick_chunk_z(Z: int, halo_pairs) -> int:
     for c in range(cap, 15, -1):
         if all(_smooth(c + lo + hi) for lo, hi in pairs):
             return c
-    return max(cap, 1)
+    # No 5-smooth chunk in [16, cap] (or halos eat the whole 256 budget):
+    # each tiny chunk re-transforms nearly the full extended extent, so
+    # throughput can collapse by orders of magnitude — tell the user WHY
+    # instead of silently degenerating (advisor, round 2).
+    fallback = max(cap, 1)
+    import warnings
+
+    warnings.warn(
+        f"pick_chunk_z: no FFT-friendly chunk for Z={Z}, halos={pairs}; "
+        f"falling back to chunk_z={fallback} (extended extents "
+        f"{[fallback + lo + hi for lo, hi in pairs]} are not 5-smooth — "
+        "expect slow Bluestein-class transforms; pass an explicit chunk_z "
+        "or pad the volume to a 5-smooth extent)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return fallback
 
 
 @partial(jax.jit, static_argnames=("out_z", "lo"))
