@@ -101,6 +101,51 @@ def test_sharded_rejects_undivisible():
         deconvolve_sharded(psi0, data, 1, mesh)
 
 
+@pytest.mark.parametrize("algorithm", ["fft", "dft"])
+def test_sharded_bz_equals_halo_boundary(algorithm):
+    """Tightest legal z-decomposition: every block is exactly one halo
+    wide, so each convolve's overlap-save extent is 3 blocks and every
+    halo plane crosses a device boundary (parallel/halo ring ppermute).
+    Must still match the single-device simultaneous driver exactly."""
+    kshape = (5, 3, 3)  # z halo = (2, 2)
+    Z, zp = 16, 8  # bz = 2 == halo
+    rng = np.random.default_rng(7)
+    V = 2
+    views = rng.gamma(2.0, 20.0, (V, Z, 8, 8)).astype(np.float32)
+    k1 = np.stack([gaussian_kernel(kshape, 0.8 + 0.2 * v) for v in range(V)])
+    data = MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(np.flip(k1, axis=(1, 2, 3)).copy()),
+        weights=jnp.full((V, Z, 8, 8), 1.0 / V, jnp.float32),
+    )
+    psi0 = jnp.full((Z, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    want = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), data, num_iterations=2, view_order="simultaneous"
+        )
+    )
+    mesh = make_mesh(view_parallel=1, z_parallel=zp)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    out = np.asarray(
+        deconvolve_sharded(psi_s, data_s, 2, mesh, algorithm=algorithm)
+    )
+    assert rms(out, want) < 1e-4
+
+
+def test_sharded_bz_below_halo_raises():
+    data = _sim_problem()  # 3^3 kernels -> halo 1
+    # 7^3 kernel -> halo 3 > bz 2 at zp=8, Z=16
+    k1 = jnp.asarray(
+        np.stack([gaussian_kernel((7, 7, 7), 1.0) for _ in range(4)])
+    )
+    data = MultiViewData(data.views, k1, k1, data.weights)
+    psi0 = jnp.zeros((16, 8, 8), jnp.float32)
+    mesh = make_mesh(view_parallel=1, z_parallel=8)
+    with pytest.raises(ValueError, match="smaller than PSF halo"):
+        deconvolve_sharded(psi0, data, 1, mesh)
+
+
 @pytest.mark.parametrize("algorithm", ["dft", "auto"])
 def test_sharded_dft_engine_matches_fft(algorithm):
     data = _sim_problem()
