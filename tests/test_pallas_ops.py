@@ -101,6 +101,37 @@ def test_fused2_matches_einsum_engine(shape, rng):
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
 
+def test_fused2_bf16_3x_precision_envelope(rng):
+    """The bench-default bf16_3x mode (LMVN_MATMUL_PRECISION=high) against
+    the float64 oracle — the always-on tolerance row for the precision
+    users actually get; hardware ladder in tests/test_stability_fused.py."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    shape = (16, 24, 32)
+    x = rng.gamma(2.0, 20.0, shape).astype(np.float32)
+    k = gaussian_kernel((5, 5, 5), 1.2)
+    want = np_convolve_spectrum(
+        x.astype(np.float64),
+        np.fft.rfftn(np_wrap_kernel(k.astype(np.float64), shape)),
+    )
+    kre, kim = kernel_spectrum_fused(jnp.asarray(k), shape, precision="bf16_3x")
+    got = np.asarray(
+        fused_convolve_spectrum(
+            jnp.asarray(x), kre, kim, interpret=True, precision="bf16_3x"
+        )
+    )
+    rel = float(np.linalg.norm(got - want) / np.linalg.norm(want))
+    assert rel < 1.5e-4  # measured 4.9e-6 at this size; gate = HW contract
+
+
 def test_fused2_rejects_bad_shapes(rng):
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
         fused_convolve_transposed,
