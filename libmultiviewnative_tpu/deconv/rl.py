@@ -312,23 +312,60 @@ def deconvolve(
             weights = jnp.transpose(weights, (0, 1, 3, 2))
         psi = jnp.transpose(psi, (0, 2, 1))
 
+    carried = view_order == "sequential" and algorithm == "fused"
+    if carried:
+        # Sequential fused mode carries the pass-A spectrum of the current
+        # psi ACROSS view steps: the CU pass fuses the next step's pass A
+        # into its epilogue (fused_rl_step_carried), shrinking the chain
+        # from 5 to 4 device passes per view step and never re-reading the
+        # updated psi from HBM.  Bitwise-identical to the plain chain
+        # (tests/test_pallas_ops.py::test_fused2_carried_chain_bitwise).
+        from ..core import dft as _dft
+        from ..ops.pallas.fused_dft2 import (
+            fused_forward_transposed,
+            fused_rl_step_carried,
+        )
+
+        _interp = jax.default_backend() == "cpu"
+        _prec = (
+            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+        )
+
     if view_order == "sequential":
         num_views = int(views.shape[0])
 
-        def sweep(p, _):
-            # The view loop is UNROLLED with constant-index slices: a
-            # lax.scan over the stacked views/spectra dynamic-slices its
-            # xs every step, materializing ~0.4 GB of spectrum/view copies
-            # per view step at 256^3 (measured ~40% of whole-iteration
-            # time); constant-index slices fold into buffer offsets.
-            # V is small (the reference's workspace is a handful of views,
-            # multiviewnative.h:71-77), so program size stays modest.
-            for v in range(num_views):
-                view, k1v, k2v, w = jax.tree_util.tree_map(
-                    lambda a: a[v], (views, k1, k2, weights)
-                )
-                p = step(p, view, k1v, k2v, w, lam, min_value, update_fn)
-            return p, None
+        if carried:
+
+            def sweep(carry, _):
+                # view loop unrolled with constant-index slices (see the
+                # non-carried branch below for the measured rationale)
+                p, u = carry
+                for v in range(num_views):
+                    view, k1v, k2v, w = jax.tree_util.tree_map(
+                        lambda a: a[v], (views, k1, k2, weights)
+                    )
+                    p, u = fused_rl_step_carried(
+                        p, u, view, w, k1v, k2v, lam, min_value,
+                        interpret=_interp, precision=_prec,
+                    )
+                return (p, u), None
+
+        else:
+
+            def sweep(p, _):
+                # The view loop is UNROLLED with constant-index slices: a
+                # lax.scan over the stacked views/spectra dynamic-slices its
+                # xs every step, materializing ~0.4 GB of spectrum/view copies
+                # per view step at 256^3 (measured ~40% of whole-iteration
+                # time); constant-index slices fold into buffer offsets.
+                # V is small (the reference's workspace is a handful of views,
+                # multiviewnative.h:71-77), so program size stays modest.
+                for v in range(num_views):
+                    view, k1v, k2v, w = jax.tree_util.tree_map(
+                        lambda a: a[v], (views, k1, k2, weights)
+                    )
+                    p = step(p, view, k1v, k2v, w, lam, min_value, update_fn)
+                return p, None
 
     elif view_order == "simultaneous":
         # eager callers get the unnormalized-weights audit here; jitted
@@ -372,19 +409,29 @@ def deconvolve(
     # schedules worse than 8-iteration blocks.)
     unroll = min(int(num_iterations), 8) if algorithm == "fused" else 1
 
+    if carried:
+        init = (
+            psi,
+            fused_forward_transposed(psi, interpret=_interp, precision=_prec),
+        )
+        get_psi = lambda c: c[0]
+    else:
+        init = psi
+        get_psi = lambda c: c
+
     if track_convergence:
 
-        def sweep_tracked(p, _):
-            nxt, _unused = sweep(p, None)
-            return nxt, jnp.sqrt(jnp.mean((nxt - p) ** 2))
+        def sweep_tracked(c, _):
+            nxt, _unused = sweep(c, None)
+            return nxt, jnp.sqrt(jnp.mean((get_psi(nxt) - get_psi(c)) ** 2))
 
-        psi, deltas = lax.scan(
-            sweep_tracked, psi, None, length=num_iterations, unroll=unroll
+        carry, deltas = lax.scan(
+            sweep_tracked, init, None, length=num_iterations, unroll=unroll
         )
-        return untranspose(psi), deltas
+        return untranspose(get_psi(carry)), deltas
 
-    psi, _ = lax.scan(sweep, psi, None, length=num_iterations, unroll=unroll)
-    return untranspose(psi)
+    carry, _ = lax.scan(sweep, init, None, length=num_iterations, unroll=unroll)
+    return untranspose(get_psi(carry))
 
 
 @partial(
@@ -581,20 +628,42 @@ def deconvolve_prepared(
         psi = jnp.transpose(psi, (0, 2, 1))
         num_views = int(views.shape[0])
 
-        def sweep(p, _):
+        # carried pass-A chain, as in `deconvolve` sequential fused mode
+        from ..core import dft as _dft
+        from ..ops.pallas.fused_dft2 import (
+            fused_forward_transposed,
+            fused_rl_step_carried,
+        )
+
+        _interp = jax.default_backend() == "cpu"
+        _prec = (
+            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+        )
+
+        def sweep(carry, _):
             # unrolled view loop with constant-index slices (see
             # `deconvolve`: scan xs dynamic-slices materialize copies)
+            p, u = carry
             for v in range(num_views):
                 view, k1v, k2v, w = jax.tree_util.tree_map(
                     lambda a: a[v],
                     (views, prepared.k1, prepared.k2, weights),
                 )
-                p = rl_view_step_fused(
-                    p, view, k1v, k2v, w, lam, min_value, update_fn
+                p, u = fused_rl_step_carried(
+                    p, u, view, w, k1v, k2v, lam, min_value,
+                    interpret=_interp, precision=_prec,
                 )
-            return p, None
+            return (p, u), None
 
-        unroll = min(int(num_iterations), 8)
+        init = (
+            psi,
+            fused_forward_transposed(psi, interpret=_interp, precision=_prec),
+        )
+        psi, _ = lax.scan(
+            sweep, init, None,
+            length=num_iterations, unroll=min(int(num_iterations), 8),
+        )
+        return jnp.transpose(psi[0], (0, 2, 1))
     else:
         step = rl_view_step if algo == "fft" else rl_view_step_dft
 
@@ -608,10 +677,8 @@ def deconvolve_prepared(
             )
             return p, None
 
-        unroll = 1
-
-    psi, _ = lax.scan(sweep, psi, None, length=num_iterations, unroll=unroll)
-    return jnp.transpose(psi, (0, 2, 1)) if algo == "fused" else psi
+    psi, _ = lax.scan(sweep, psi, None, length=num_iterations, unroll=1)
+    return psi
 
 
 def deconvolve_workspace(psi: jnp.ndarray, ws: Workspace, **kw) -> jnp.ndarray:

@@ -840,6 +840,108 @@ def _pass_cu_kernel(
             out_ref[b, :, r * M : (r + 1) * M] = new[:, b * M : (b + 1) * M]
 
 
+def _pass_cua_kernel(
+    vre_ref, vim_ref, psi_ref, w_ref,
+    iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,  # y-inverse consts
+    bxp_ref,  # packed x-inverse consts
+    fxp_ref,  # packed x-forward consts
+    fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
+    psi_out_ref, ure_ref, uim_ref,
+    *, om_yi, om_yf, kxp, scalar_w: bool, lam: float, min_value: float,
+    precision, fold=False, hp=0,
+):
+    """Fused pass C (conv2 inverse) + RL update + pass A (the NEXT view
+    step's forward) for one z-slab: v2 (Kxp, B, M) + psi/weights slabs ->
+    psi' (B, X, Y) AND u(psi') (Kxp, B, M).
+
+    The sequential-mode pass-chain pipelining lever (round-2 verdict #2):
+    the RL update is elementwise-local, so a psi' slab is final the
+    moment it is computed — the next view step's pass A can consume it
+    right here in VMEM instead of re-reading psi' from HBM one pass
+    later.  Per view step the chain shrinks from 5 passes (A B CQA B CU)
+    to 4 (B CQA B CUA) with one HBM volume-read saved; semantics are
+    bitwise those of CU followed by A (same op chain on the same values;
+    cf. the kick's overlap philosophy, /root/reference/inc/
+    gpu_convolve.cuh:57-98, recast as in-VMEM fusion).
+
+    Structure mirrors _pass_cqa_kernel with the quotient epilogue
+    replaced by _rl_update_block + the psi' store."""
+    B = psi_out_ref.shape[0]
+    R, M = om_yi.shape[0], iya_ref.shape[0]
+    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    itr, iti = ityr_ref[:], ityi_ref[:]
+    wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
+    ftr, fti = ftyr_ref[:], ftyi_ref[:]
+    bxp, fxp = bxp_ref[:], fxp_ref[:]
+    w_scalar = w_ref[0, 0] if scalar_w else None
+    if M < 128:
+        for b in range(B):
+            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            t_re, t_im = _inv_split_right(
+                blk_re, blk_im, wi, itr, iti, om_yi, precision
+            )
+            q_re, q_im = [], []
+            for r in range(R):
+                integral = _inv_x(
+                    bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    x=psi_out_ref.shape[1],
+                )
+                psi = psi_ref[b, :, r * M : (r + 1) * M]
+                w = (
+                    w_scalar
+                    if scalar_w
+                    else w_ref[b, :, r * M : (r + 1) * M]
+                )
+                new = _rl_update_block(psi, integral, w, lam, min_value)
+                psi_out_ref[b, :, r * M : (r + 1) * M] = new
+                f_re, f_im = _fwd_x(fxp, new, kxp, precision, fold=fold, hp=hp)
+                q_re.append(f_re)
+                q_im.append(f_im)
+            o_re, o_im = _fwd_split_right(
+                q_re, q_im, wf, ftr, fti, om_yf, precision
+            )
+            for q in range(R):
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+        return
+    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
+    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
+    q_re, q_im = [], []
+    for r in range(R):
+        integral = _inv_x_planes(
+            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
+            x=psi_out_ref.shape[1],
+        )
+        psi = jnp.concatenate(
+            [psi_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+        )
+        w = (
+            w_scalar
+            if scalar_w
+            else jnp.concatenate(
+                [w_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+            )
+        )
+        new = _rl_update_block(psi, integral, w, lam, min_value)
+        for b in range(B):
+            psi_out_ref[b, :, r * M : (r + 1) * M] = new[:, b * M : (b + 1) * M]
+        s_re, s_im = _fwd_x_planes(
+            fxp, new, B, kxp, precision, fold=fold, hp=hp
+        )
+        q_re.append(s_re)
+        q_im.append(s_im)
+    out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
+    for q in range(R):
+        for b in range(B):
+            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                b * kxp : (b + 1) * kxp
+            ]
+            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                b * kxp : (b + 1) * kxp
+            ]
+
+
 def _slab(n_z: int, x: int, y: int) -> int:
     """z-slab size.  Mosaic requires block dims that are not the full
     array extent to be multiples of 8 (sublane) — the (Kx, B, M) output
@@ -1202,4 +1304,155 @@ def fused_rl_step_transposed(
         *sy.wi, *sy.twi, plan.bxp,
     )
     return psi_new
+
+
+def fused_forward_transposed(
+    xt: jnp.ndarray,
+    interpret: bool = False,
+    precision: str = "highest",
+    fold_x: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pass A alone: (Z, X, Y)-transposed volume -> (Kxp, Z, M) split
+    spectrum-in-progress.  Seeds the carried-u RL chain (one call per
+    deconvolve, before the iteration scan)."""
+    Z, X, Y = _check_transposed(xt)
+    plan = (
+        make_fused_plan((Z, Y, X), fold_x=True)
+        if fold_x
+        else make_fused_plan((Z, Y, X))
+    )
+    return _run_pass_a(xt, plan, _slab(Z, X, Y), interpret, precision)
+
+
+def fused_rl_step_carried(
+    psi_t: jnp.ndarray,
+    u: Tuple[jnp.ndarray, jnp.ndarray],
+    view_t: jnp.ndarray,
+    weights,
+    k1: Tuple[jnp.ndarray, jnp.ndarray],
+    k2: Tuple[jnp.ndarray, jnp.ndarray],
+    lam: float,
+    min_value: float,
+    interpret: bool = False,
+    precision: str = "highest",
+    fold_x: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One RL view step with the pass-A spectrum CARRIED between steps:
+
+        B(*K̂1) -> [C + quotient + A] -> B(*K̂2) -> [C + update + A]
+
+    FOUR device passes per view step instead of five.  ``u`` is pass A of
+    the current psi (from :func:`fused_forward_transposed` before the
+    first step, or the previous step's carry); returns (psi', u(psi')).
+    The update is elementwise-local, so fusing the next step's pass A
+    into the update pass (_pass_cua_kernel) is exact — the op chain and
+    values are identical to fused_rl_step_transposed followed by pass A;
+    only one HBM re-read of psi' and one pass launch are removed.  The
+    final step's carry is dead work (one pass A per deconvolve call).
+
+    Reference step contract: src/multiviewnative.cpp:191-228; overlap
+    philosophy: /root/reference/inc/gpu_convolve.cuh:57-98."""
+    Z, X, Y = _check_transposed(psi_t)
+    # keep the default-mode lru_cache key identical to plain
+    # make_fused_plan(shape) calls (kernel_spectrum_fused) so the plan
+    # instance — and its traced constants — stays shared
+    plan = (
+        make_fused_plan((Z, Y, X), fold_x=True)
+        if fold_x
+        else make_fused_plan((Z, Y, X))
+    )
+    Kx = plan.kxp
+    B = _slab(Z, X, Y)
+    M = Y
+    sy = plan.sy
+
+    u_re, u_im = u
+    v_re, v_im = _run_pass_b(u_re, u_im, k1[0], k1[1], plan, interpret, precision)
+
+    slab = lambda: pl.BlockSpec(
+        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+    )
+    kxblk = lambda: pl.BlockSpec(
+        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
+    )
+    y_inv = [
+        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
+        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
+    ]
+    y_fwd = [
+        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
+        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
+    ]
+
+    # ---- fused C + quotient + A
+    u_re, u_im = pl.pallas_call(
+        functools.partial(
+            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
+            kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab()]
+            + y_inv
+            + [_full(tuple(plan.bxp.shape))]
+            + [_full(tuple(plan.fxp.shape))]
+            + y_fwd
+        ),
+        out_specs=(kxblk(), kxblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, view_t,
+        *sy.wi, *sy.twi, plan.bxp,
+        plan.fxp, *sy.wf, *sy.twf,
+    )
+
+    v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
+
+    # ---- fused C + RL update + next pass A
+    w = jnp.asarray(weights, jnp.float32)
+    scalar_w = w.ndim < 3
+    if scalar_w:
+        w_arr = jnp.reshape(w, (1, 1))
+        w_spec = _full((1, 1))
+    else:
+        w_arr = w
+        w_spec = slab()
+    psi_new, nu_re, nu_im = pl.pallas_call(
+        functools.partial(
+            _pass_cua_kernel, om_yi=sy.omi, om_yf=sy.omf,
+            kxp=plan.kxp, scalar_w=scalar_w,
+            lam=float(lam), min_value=float(min_value), precision=precision,
+            fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab(), w_spec]
+            + y_inv
+            + [_full(tuple(plan.bxp.shape))]
+            + [_full(tuple(plan.fxp.shape))]
+            + y_fwd
+        ),
+        out_specs=(
+            pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
+            kxblk(),
+            kxblk(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, psi_t, w_arr,
+        *sy.wi, *sy.twi, plan.bxp,
+        plan.fxp, *sy.wf, *sy.twf,
+    )
+    return psi_new, (nu_re, nu_im)
 

@@ -101,6 +101,84 @@ def test_fused2_matches_einsum_engine(shape, rng):
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
 
+def test_fused2_carried_chain_bitwise(rng):
+    """The carried-u chain (fused_rl_step_carried: B CQA B CUA, pass-A
+    spectrum threaded across view steps — the round-2 verdict's pass-chain
+    pipelining) must be BITWISE the plain chain (A B CQA B CU per step):
+    the fused CUA pass runs the identical op sequence on identical values,
+    only the HBM round-trip between CU and the next A is removed."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_forward_transposed,
+        fused_rl_step_carried,
+        fused_rl_step_transposed,
+        kernel_spectrum_fused,
+    )
+
+    shape = (16, 16, 16)
+    psi = rng.gamma(2.0, 20.0, shape).astype(np.float32)
+    V = 2
+    views = [rng.gamma(2.0, 20.0, shape).astype(np.float32) for _ in range(V)]
+    ks = []
+    for _ in range(V):
+        k = rng.gamma(2.0, 1.0, (5, 5, 5)).astype(np.float32)
+        ks.append(k / k.sum())
+    t = lambda a: jnp.transpose(jnp.asarray(a), (0, 2, 1))
+
+    for prec in ("highest", "bf16_3x"):
+        k1s = [kernel_spectrum_fused(jnp.asarray(k), shape, precision=prec) for k in ks]
+        k2s = [
+            kernel_spectrum_fused(jnp.asarray(np.flip(k).copy()), shape, precision=prec)
+            for k in ks
+        ]
+        p_plain = t(psi)
+        for _ in range(2):
+            for v in range(V):
+                p_plain = fused_rl_step_transposed(
+                    p_plain, t(views[v]), jnp.float32(0.5), k1s[v], k2s[v],
+                    0.006, 1e-4, interpret=True, precision=prec,
+                )
+        p_c = t(psi)
+        u = fused_forward_transposed(p_c, interpret=True, precision=prec)
+        for _ in range(2):
+            for v in range(V):
+                p_c, u = fused_rl_step_carried(
+                    p_c, u, t(views[v]), jnp.float32(0.5), k1s[v], k2s[v],
+                    0.006, 1e-4, interpret=True, precision=prec,
+                )
+        np.testing.assert_array_equal(np.asarray(p_plain), np.asarray(p_c))
+
+
+def test_fused2_carried_chain_fold_x(rng):
+    """Carried chain under fold_x (both levers composed) still matches the
+    plain chain bitwise."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_forward_transposed,
+        fused_rl_step_carried,
+        fused_rl_step_transposed,
+        kernel_spectrum_fused,
+    )
+
+    shape = (16, 16, 16)
+    psi = rng.gamma(2.0, 20.0, shape).astype(np.float32)
+    view = rng.gamma(2.0, 20.0, shape).astype(np.float32)
+    k = rng.gamma(2.0, 1.0, (5, 5, 5)).astype(np.float32)
+    k /= k.sum()
+    t = lambda a: jnp.transpose(jnp.asarray(a), (0, 2, 1))
+    k1 = kernel_spectrum_fused(jnp.asarray(k), shape)
+    k2 = kernel_spectrum_fused(jnp.asarray(np.flip(k).copy()), shape)
+
+    p_plain = fused_rl_step_transposed(
+        t(psi), t(view), jnp.float32(1.0), k1, k2, 0.0, 1e-4,
+        interpret=True, fold_x=True,
+    )
+    u = fused_forward_transposed(t(psi), interpret=True, fold_x=True)
+    p_c, _u = fused_rl_step_carried(
+        t(psi), u, t(view), jnp.float32(1.0), k1, k2, 0.0, 1e-4,
+        interpret=True, fold_x=True,
+    )
+    np.testing.assert_array_equal(np.asarray(p_plain), np.asarray(p_c))
+
+
 def test_fused2_bf16_3x_precision_envelope(rng):
     """The bench-default bf16_3x mode (LMVN_MATMUL_PRECISION=high) against
     the float64 oracle — the always-on tolerance row for the precision
