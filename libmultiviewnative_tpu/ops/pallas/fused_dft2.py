@@ -947,8 +947,19 @@ def _slab(n_z: int, x: int, y: int) -> int:
     array extent to be multiples of 8 (sublane) — the (Kx, B, M) output
     block's middle dim is B, so B = 8 (Z % 8 enforced by the caller; an
     8-plane 512x512 f32 slab is 8 MB, comfortably inside the raised
-    vmem_limit with double-buffering)."""
-    del x, y
+    vmem_limit with double-buffering).
+
+    LMVN_FUSED_SLAB (experimental sweep knob, read at trace time like
+    LMVN_MATMUL_PRECISION): wider slabs amortize per-grid-step DMA and
+    stack more y-stage rows per matmul — the A/C-pass MXU-utilization
+    lever of the round-2 verdict (#5) — at the cost of VMEM (the 512-class
+    CQA pass is near the 112 MB ceiling at B=8 f32; try B=16 at the
+    256 class first)."""
+    import os as _os
+
+    b = int(_os.environ.get("LMVN_FUSED_SLAB", "8"))
+    if n_z % 8 == 0 and b >= 8 and b % 8 == 0 and n_z % b == 0:
+        return b
     return 8 if n_z % 8 == 0 else n_z
 
 
