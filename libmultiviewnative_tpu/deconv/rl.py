@@ -29,6 +29,7 @@ efficient variant that makes the view axis shardable over a mesh
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -128,6 +129,23 @@ def fused_eligible(spatial_shape) -> bool:
         and X % 8 == 0
         and jax.default_backend() != "cpu"
     )
+
+
+def _carry_enabled(spatial) -> bool:
+    """Shape-gated default for the carried pass-A chain (round-3 measured,
+    docs/measure_r3.out): carrying Â(psi) across view steps trades one psi
+    HBM re-read per step for two extra (Kxp, Z, M) spectral writes.  At the
+    256^3 headline that trade LOSES (94.1 plain vs 93.0 carried it/s — the
+    round-2 tombstone holds at the plane-batched state too); at 512^3,
+    where the chain is deeper into the HBM-bandwidth regime, it WINS
+    (9.02 carried vs 8.87 plain).  Default: carried for 512-class shapes
+    (max axis >= 384), plain below.  LMVN_FUSED_CARRY=0/1 forces either
+    (trace-time read — clear jit caches when flipping mid-process, as
+    scripts/measure_r3b.py does)."""
+    mode = os.environ.get("LMVN_FUSED_CARRY", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return max(int(d) for d in spatial) >= 384
 
 
 def rl_view_step_fused(
@@ -312,7 +330,11 @@ def deconvolve(
             weights = jnp.transpose(weights, (0, 1, 3, 2))
         psi = jnp.transpose(psi, (0, 2, 1))
 
-    carried = view_order == "sequential" and algorithm == "fused"
+    carried = (
+        view_order == "sequential"
+        and algorithm == "fused"
+        and _carry_enabled(spatial)
+    )
     if carried:
         # Sequential fused mode carries the pass-A spectrum of the current
         # psi ACROSS view steps: the CU pass fuses the next step's pass A
@@ -633,12 +655,14 @@ def deconvolve_prepared(
         from ..ops.pallas.fused_dft2 import (
             fused_forward_transposed,
             fused_rl_step_carried,
+            fused_rl_step_transposed,
         )
 
         _interp = jax.default_backend() == "cpu"
         _prec = (
             "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
         )
+        carried = _carry_enabled(psi.shape)  # max-axis gate: transpose-safe
 
         def sweep(carry, _):
             # unrolled view loop with constant-index slices (see
@@ -649,15 +673,23 @@ def deconvolve_prepared(
                     lambda a: a[v],
                     (views, prepared.k1, prepared.k2, weights),
                 )
-                p, u = fused_rl_step_carried(
-                    p, u, view, w, k1v, k2v, lam, min_value,
-                    interpret=_interp, precision=_prec,
-                )
+                if carried:
+                    p, u = fused_rl_step_carried(
+                        p, u, view, w, k1v, k2v, lam, min_value,
+                        interpret=_interp, precision=_prec,
+                    )
+                else:
+                    p = fused_rl_step_transposed(
+                        p, view, w, k1v, k2v, lam, min_value,
+                        interpret=_interp, precision=_prec,
+                    )
             return (p, u), None
 
         init = (
             psi,
-            fused_forward_transposed(psi, interpret=_interp, precision=_prec),
+            fused_forward_transposed(psi, interpret=_interp, precision=_prec)
+            if carried
+            else None,
         )
         psi, _ = lax.scan(
             sweep, init, None,

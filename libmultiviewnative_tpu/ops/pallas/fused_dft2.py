@@ -409,6 +409,32 @@ def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 # ---------------------------------------------------------------------------
 
 
+def _rev_rows(m):
+    """Exact sublane-axis reversal of a 2D block, Mosaic-lowerable.
+
+    ``lax.rev`` (what ``m[::-1]`` traces to) is an unimplemented Mosaic
+    primitive, so the reversal runs as log2(n) butterfly rounds — swap
+    adjacent blocks of size b = n/2, n/4, ..., 1 with two static
+    ``pltpu.roll``s + an iota-mask select per round.  Pure VPU data
+    movement (bit-exact, no matmul), so it hides under the MXU-bound
+    fold matmuls.  Non-power-of-2 row counts are zero-padded up front
+    and sliced back after (pad rows reverse into the head)."""
+    n, w = m.shape
+    p2 = 1 << (n - 1).bit_length()
+    x = (
+        m
+        if p2 == n
+        else jnp.concatenate([m, jnp.zeros((p2 - n, w), m.dtype)], axis=0)
+    )
+    i = jax.lax.broadcasted_iota(jnp.int32, (p2, w), 0)
+    b = p2 // 2
+    while b >= 1:
+        even = ((i // b) % 2) == 0
+        x = jnp.where(even, pltpu.roll(x, p2 - b, 0), pltpu.roll(x, b, 0))
+        b //= 2
+    return x if p2 == n else x[p2 - n :]
+
+
 def _fold_eo(p, hp: int):
     """Hermitian fold of a real x-column block (rows = x): e[n] = p[n] +
     p[X-n] (n=0..H, endpoints unpaired), o[n] = p[n] - p[X-n] (n=1..H-1),
@@ -418,7 +444,7 @@ def _fold_eo(p, hp: int):
     X, W = p.shape
     H = X // 2
     core = p[1:H]
-    tail = p[H + 1 :][::-1]
+    tail = _rev_rows(p[H + 1 :])
     parts_e = [p[0:1], core + tail, p[H : H + 1]]
     if hp > H + 1:
         parts_e.append(jnp.zeros((hp - (H + 1), W), p.dtype))
@@ -455,7 +481,7 @@ def _inv_x(bxp, t_re, t_im, precision, fold: bool = False, hp: int = 0,
         ev = _dot(bxp[:hp], t_re, precision)
         od = _dot(bxp[hp:], t_im, precision)
         top = (ev + od)[: H + 1]
-        bot = ((ev - od)[1:H])[::-1]
+        bot = _rev_rows((ev - od)[1:H])
         return jnp.concatenate([top, bot], axis=0)
     return _dot(bxp, jnp.concatenate([t_re, t_im], axis=0), precision)
 
