@@ -291,9 +291,28 @@ def _dot(a, b, precision):
     )
 
 
+def _schoolbook() -> bool:
+    """Trace-time A/B knob (LMVN_FUSED_CMUL=schoolbook): 4-matmul complex
+    products instead of 3-matmul Karatsuba.  Hypothesis for the A/C-pass
+    ~50% MXU utilization (round-2 verdict #5): Karatsuba's runtime
+    ``d_re + d_im`` VPU pre-add sits on the MXU critical path; schoolbook
+    trades +33% MXU FLOPs for four *independent* products the scheduler
+    can stream back-to-back.  Measured on v5e (docs/measure_r3.out) —
+    see PERFORMANCE.md for the verdict."""
+    import os as _os
+
+    return _os.environ.get("LMVN_FUSED_CMUL", "karatsuba") == "schoolbook"
+
+
 def _cmul_right(d_re, d_im, trip, precision):
-    """(d_re + i d_im) @ (A + iB) via 3 matmuls (trip = (A, B, A+B))."""
+    """(d_re + i d_im) @ (A + iB) via 3 matmuls (trip = (A, B, A+B)),
+    or 4 independent matmuls under LMVN_FUSED_CMUL=schoolbook."""
     a, b, ab = trip
+    if _schoolbook():
+        return (
+            _dot(d_re, a, precision) - _dot(d_im, b, precision),
+            _dot(d_re, b, precision) + _dot(d_im, a, precision),
+        )
     m1 = _dot(d_re, a, precision)
     m2 = _dot(d_im, b, precision)
     m3 = _dot(d_re + d_im, ab, precision)
@@ -301,8 +320,13 @@ def _cmul_right(d_re, d_im, trip, precision):
 
 
 def _cmul_left(trip, d_re, d_im, precision):
-    """(A + iB) @ (d_re + i d_im) via 3 matmuls."""
+    """(A + iB) @ (d_re + i d_im) via 3 matmuls (or 4, see _cmul_right)."""
     a, b, ab = trip
+    if _schoolbook():
+        return (
+            _dot(a, d_re, precision) - _dot(b, d_im, precision),
+            _dot(b, d_re, precision) + _dot(a, d_im, precision),
+        )
     m1 = _dot(a, d_re, precision)
     m2 = _dot(b, d_im, precision)
     m3 = _dot(ab, d_re + d_im, precision)
@@ -504,9 +528,13 @@ def _pass_a_kernel(
     fxp = fxp_ref[:]
     wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
-    if M < 128:
-        # narrow lanes: Mosaic cannot lower the stacking concats
-        # ("offset mismatch on non-concat dimension") — per-plane path
+    if M < 128 or (R * M) % 128:
+        # narrow lanes (M < 128) OR lane-misaligned Y (Y = R*M not a
+        # multiple of 128): Mosaic cannot lower the stacking concats —
+        # the restack slices t[:, b*Y:(b+1)*Y] land at per-operand lane
+        # offsets b*Y mod 128 and tpu.concatenate requires equal offsets
+        # on the non-concat dim ("result/input offset mismatch", hit at
+        # 264^3 in the round-3 stability ladder) — per-plane path
         for b in range(B):
             t_re, t_im = _fwd_x(
                 fxp, x_ref[b], kxp, precision, fold=fold, hp=hp
@@ -683,7 +711,7 @@ def _pass_c_kernel(
     wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
     bxp = bxp_ref[:]
-    if M < 128:
+    if M < 128 or (R * M) % 128:
         for b in range(B):
             blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
             blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
@@ -733,7 +761,7 @@ def _pass_cqa_kernel(
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
     bxp, fxp = bxp_ref[:], fxp_ref[:]
-    if M < 128:
+    if M < 128 or (R * M) % 128:
         for b in range(B):
             blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
             blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
@@ -822,7 +850,7 @@ def _pass_cu_kernel(
     itr, iti = ityr_ref[:], ityi_ref[:]
     bxp = bxp_ref[:]
     w_scalar = w_ref[0, 0] if scalar_w else None
-    if M < 128:
+    if M < 128 or (R * M) % 128:
         for b in range(B):
             blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
             blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
@@ -900,7 +928,7 @@ def _pass_cua_kernel(
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
     bxp, fxp = bxp_ref[:], fxp_ref[:]
     w_scalar = w_ref[0, 0] if scalar_w else None
-    if M < 128:
+    if M < 128 or (R * M) % 128:
         for b in range(B):
             blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
             blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]

@@ -293,10 +293,11 @@ def test_fused2_split_perm_identity_and_interleave():
 
 @pytest.mark.parametrize("shape", [(16, 16, 16), (16, 256, 32)], ids=str)
 def test_fused2_fold_x_matches_dense(shape, rng):
-    """fold_x=True (hermitian-fold x stages, halved matmul contraction —
-    the 512-class lever, docs/ROADMAP.md) must match the dense-mode
-    convolve to f32 accumulation noise.  EXPERIMENTAL: correctness-locked
-    here; hardware measurement pending (tunnel outage in round 2)."""
+    """fold_x=True (hermitian-fold x stages, halved matmul contraction)
+    must match the dense-mode convolve to f32 accumulation noise.
+    MEASURED NEGATIVE on v5e in round 3 (4.97 vs 4.72 ms at X=512,
+    docs/PERFORMANCE.md tombstone) — kept correctness-locked as the
+    reference implementation of the fold identities."""
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
         fused_convolve_transposed,
         kernel_spectrum_fused,
@@ -343,3 +344,39 @@ def test_fused2_fold_x_rl_step(rng):
         for f in (False, True)
     ]
     np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [(16, 136, 16), (16, 264, 24)], ids=str)
+def test_fused2_lane_misaligned_y(shape, rng):
+    """Shapes whose y extent is NOT a multiple of 128 must route through
+    the per-plane path: the plane-batched restack concats slice lanes at
+    per-operand offsets b*Y mod 128, which tpu.concatenate rejects
+    ("result/input offset mismatch on non-concat dimension" — hit at
+    264^3 on real hardware in the round-3 stability ladder; interpret
+    mode cannot catch lowering legality, so this locks the ROUTING
+    condition and the per-plane path's correctness at M >= 128)."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+        make_fused_plan,
+    )
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    plan = make_fused_plan(shape)
+    # the regression precondition: batched-illegal geometry (Y % 128 != 0
+    # with wide-enough M that the OLD condition picked the batched path)
+    assert (plan.sy.R * plan.sy.M) % 128 != 0 and plan.sy.M >= 128
+
+    x = (rng.normal(size=shape) + 3.0).astype(np.float32)
+    k = gaussian_kernel((5, 5, 5), 1.1)
+    k_hat = np.fft.rfftn(np_wrap_kernel(k.astype(np.float64), shape))
+    want = np_convolve_spectrum(x.astype(np.float64), k_hat)
+    kre, kim = kernel_spectrum_fused(jnp.asarray(k), shape)
+    got = np.asarray(
+        fused_convolve_spectrum(jnp.asarray(x), kre, kim, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
