@@ -139,13 +139,20 @@ def _carry_enabled(spatial) -> bool:
     round-2 tombstone holds at the plane-batched state too); at 512^3,
     where the chain is deeper into the HBM-bandwidth regime, it WINS
     (9.02 carried vs 8.87 plain).  Default: carried for 512-class shapes
-    (max axis >= 384), plain below.  LMVN_FUSED_CARRY=0/1 forces either
+    (max axis >= 384) under bf16_3x matmuls, plain below — and plain at
+    'highest' precision everywhere: the fatter f32 CUA pass exceeds the
+    112 MB scoped-VMEM limit at 512-class (123 MB, caught by the round-3
+    perf-gate run), and the carried win was only ever measured under the
+    bench's bf16_3x opt-in.  LMVN_FUSED_CARRY=0/1 forces either
     (trace-time read — clear jit caches when flipping mid-process, as
     scripts/measure_r3b.py does)."""
     mode = os.environ.get("LMVN_FUSED_CARRY", "auto")
     if mode in ("0", "1"):
         return mode == "1"
-    return max(int(d) for d in spatial) >= 384
+    from ..core import dft as _dft
+
+    bf16_3x = _dft._PREC == jax.lax.Precision.HIGH
+    return bf16_3x and max(int(d) for d in spatial) >= 384
 
 
 def rl_view_step_fused(
