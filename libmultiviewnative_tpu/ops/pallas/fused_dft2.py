@@ -48,10 +48,15 @@ nothing Mosaic's layout inference has to reshape or transpose:
 
   (1) y_q: R complex-scalar-weighted adds of contiguous (M, B) blocks
       — VPU work, N*R per element-column, negligible;
-  (2) twiddle tw_q[j] = omega_N^{q j}: one elementwise complex multiply;
+  (2) twiddle tw_q[j] = omega_N^{q j}: FOLDED into per-q stage matrices
+      by default (LMVN_FUSED_TWFOLD, round-3: +11% at the 256^3 headline
+      — the runtime elementwise complex multiply sat on the MXU critical
+      path); unfolded mode keeps it as one elementwise cmul;
   (3) one (M,M)@(M,B) Karatsuba matmul per q — MXU FLOPs drop from
       N^2*B to N*M*B per stage, i.e. R-fold, while the contraction depth
-      stays M=128 (full MXU tiles).
+      stays M=128 (full MXU tiles).  LMVN_FUSED_CMUL=stacked instead
+      runs ONE real (rows, 2M)@(2M, 2M) matmul on [re | im]-stacked
+      blocks (schoolbook FLOPs, no Karatsuba combines, one bf16 split).
 
 The outputs land INTERLEAVED (block q holds frequencies {R*p+q}).  No
 array is ever physically permuted: the kernel spectrum is pre-permuted
@@ -160,37 +165,125 @@ def pick_split(n: int) -> Tuple[int, int]:
     return (1, n)
 
 
-def _make_split(n: int, split: Tuple[int, int]) -> SplitSpec:
+def _stack_cmplx(W: np.ndarray, orient: str) -> np.ndarray:
+    """Real (2M, 2M) matrix computing a complex product on [re | im]-
+    stacked data: right-mult [re | im] @ [[A, B], [-B, A]] (lane stack),
+    left-mult [[A, -B], [B, A]] @ [re; im] (sublane stack)."""
+    A, B = W.real, W.imag
+    if orient == "right":
+        return np.block([[A, B], [-B, A]])
+    return np.block([[A, -B], [B, A]])
+
+
+def _make_split(
+    n: int, split: Tuple[int, int], orient: str = "right",
+    twfold: bool = False, cmul: str = "karatsuba",
+) -> SplitSpec:
+    """``orient`` is the matmul side the stage matrix sits on: 'right' for
+    lane-contracting stages (y), 'left' for sublane-contracting ones (z).
+
+    ``twfold`` folds the per-q twiddle diagonal INTO the stage matrices —
+    wf/wi become (R*M, M) stacks of R per-q matrices W_q (block q = rows
+    [q*M, (q+1)*M)) and the runtime elementwise twiddle cmul disappears:
+
+        right fwd:  (y ⊙ tw)  @ W  ==  y @ (diag(tw) @ W)
+        right inv:  (b @ W) ⊙ tw   ==  b @ (W @ diag(tw))
+        left  fwd:  W @ (tw ⊙ y)   ==  (W @ diag(tw)) @ y
+        left  inv:  tw ⊙ (W @ b)   ==  (diag(tw) @ W) @ b
+
+    Same math, one fewer VPU stage on the MXU critical path; the twf/twi
+    tables are still built (kernels receive them either way; the split
+    helpers detect the layout from the triple's shape).
+
+    ``cmul='stacked'`` replaces the 3-matmul Karatsuba complex product
+    with ONE real matmul against the (2M, 2M) :func:`_stack_cmplx` form
+    on [re | im]-stacked data — +33% MXU FLOPs (schoolbook count) for
+    zero Karatsuba pre-adds/combines and one bf16 operand split instead
+    of three (the A/C passes are scheduling-bound, not FLOP-bound, so
+    trading MXU for a shorter VPU chain is the hypothesis to measure).
+    wf/wi slots 1-2 become dummy placeholders."""
     R, M = split
     assert R * M == n, (R, M, n)
     jm = np.outer(np.arange(M), np.arange(M)) * (2.0 * np.pi / M)
     qj = np.outer(np.arange(R), np.arange(M)) * (2.0 * np.pi / n)
-    qr = np.outer(np.arange(R), np.arange(R)) * (2.0 * np.pi / R)
     f32 = lambda m: jnp.asarray(m, jnp.float32)
+    Wf = np.exp(-1j * jm)
+    Wi = np.exp(+1j * jm) / M
+    if twfold and R > 1:
+        twf_q = np.exp(-1j * qj)  # (R, M)
+        twi_q = np.exp(+1j * qj)
+        if orient == "right":
+            fq = [twf_q[q][:, None] * Wf for q in range(R)]
+            iq = [Wi * twi_q[q][None, :] for q in range(R)]
+        else:
+            fq = [Wf * twf_q[q][None, :] for q in range(R)]
+            iq = [twi_q[q][:, None] * Wi for q in range(R)]
+    else:
+        fq, iq = [Wf], [Wi]
+    if cmul == "stacked":
+        dummy = jnp.zeros((8, 128), jnp.float32)
+        wf = (
+            f32(np.concatenate([_stack_cmplx(w, orient) for w in fq], axis=0)),
+            dummy, dummy,
+        )
+        wi = (
+            f32(np.concatenate([_stack_cmplx(w, orient) for w in iq], axis=0)),
+            dummy, dummy,
+        )
+    else:
+        Fs = np.concatenate(fq, axis=0)  # (R*M, M) folded, (M, M) plain
+        Is = np.concatenate(iq, axis=0)
+        wf = _triple(Fs.real, Fs.imag)
+        wi = _triple(Is.real, Is.imag)
     return SplitSpec(
         R=R,
         M=M,
-        wf=_triple(np.cos(jm), -np.sin(jm)),
+        wf=wf,
         twf=(f32(np.cos(qj)), f32(-np.sin(qj))),
-        wi=_triple(np.cos(jm) / M, np.sin(jm) / M),
+        wi=wi,
         twi=(f32(np.cos(qj)), f32(np.sin(qj))),
         omf=np.exp(-2j * np.pi / R * np.outer(np.arange(R), np.arange(R))),
         omi=np.exp(+2j * np.pi / R * np.outer(np.arange(R), np.arange(R))) / R,
     )
 
 
-@functools.lru_cache(maxsize=16)
 def make_fused_plan(
     shape: Tuple[int, int, int],
     splits: Tuple[Tuple[int, int], Tuple[int, int]] = None,
     fold_x: bool = False,
+    twfold: bool = None,
 ) -> FusedPlan:
     """``splits``: ((Rz, Mz), (Ry, My)) or None for the measured default
     (:func:`pick_split` per axis).  ``fold_x`` builds the hermitian-fold
-    x matrices (halved contraction depth — the 512-class lever,
-    docs/ROADMAP.md) instead of the packed dense pair; EXPERIMENTAL,
-    correctness-tested in interpret mode, awaiting hardware measurement
-    (a tunnel outage blocked it in round 2)."""
+    x matrices (measured-negative 512-class lever, docs/PERFORMANCE.md)
+    instead of the packed dense pair.  ``twfold`` folds split-stage
+    twiddles into per-q stage matrices (see :func:`_make_split`); None
+    reads LMVN_FUSED_TWFOLD at trace time (cache-keyed, like the other
+    trace-time knobs — clear jit caches when flipping mid-process)."""
+    if twfold is None:
+        import os as _os
+
+        twfold = _os.environ.get("LMVN_FUSED_TWFOLD", "1") == "1"
+    import os as _os
+
+    cmul = _os.environ.get("LMVN_FUSED_CMUL", "karatsuba")
+    # 'schoolbook' is a runtime knob (same matrices); only 'stacked'
+    # changes the plan layout
+    cmul = "stacked" if cmul == "stacked" else "karatsuba"
+    return _make_fused_plan(shape, splits, fold_x, bool(twfold), cmul)
+
+
+make_fused_plan.cache_clear = lambda: _make_fused_plan.cache_clear()
+
+
+@functools.lru_cache(maxsize=16)
+def _make_fused_plan(
+    shape: Tuple[int, int, int],
+    splits,
+    fold_x: bool,
+    twfold: bool,
+    cmul: str = "karatsuba",
+) -> FusedPlan:
     Z, Y, X = (int(s) for s in shape)
     kx = X // 2 + 1
     if splits is None:
@@ -234,8 +327,12 @@ def make_fused_plan(
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return FusedPlan(
             fxp=f32(fxp),
-            sy=_make_split(Y, splits[1]),
-            sz=_make_split(Z, splits[0]),
+            sy=_make_split(
+                Y, splits[1], orient="right", twfold=twfold, cmul=cmul
+            ),
+            sz=_make_split(
+                Z, splits[0], orient="left", twfold=twfold, cmul=cmul
+            ),
             bxp=f32(bxp),
             shape=(Z, Y, X),
             kxh=kx,
@@ -359,10 +456,56 @@ def _tw_mul(re, im, twr, twi):
 # ---------------------------------------------------------------------------
 
 
+def _q_trip(trip, q, M):
+    """Slice per-q stage matrices out of a folded (R*M, M) triple."""
+    a, b, ab = trip
+    return (
+        a[q * M : (q + 1) * M],
+        b[q * M : (q + 1) * M],
+        ab[q * M : (q + 1) * M],
+    )
+
+
+def _trip_mode(w_trip, M):
+    """(folded, stacked) from the stage-matrix shape: per-q folded stacks
+    are non-square ((R*M, M) or (R*2M, 2M)); the stacked-complex form is
+    2M wide (see _make_split)."""
+    rows, cols = w_trip[0].shape
+    return (rows != cols), (cols == 2 * M)
+
+
+def _stage_cmul_right(d_re, d_im, w_trip, q, M, folded, stacked, precision):
+    """Complex product of a (rows, M) block with the stage matrix, lane
+    contraction — Karatsuba triple, per-q folded triple, or one stacked
+    real matmul on [d_re | d_im]."""
+    if stacked:
+        S = w_trip[0]
+        n2 = 2 * M
+        Sq = S[q * n2 : (q + 1) * n2] if folded else S
+        o = _dot(jnp.concatenate([d_re, d_im], axis=1), Sq, precision)
+        return o[:, :M], o[:, M:]
+    trip = _q_trip(w_trip, q, M) if folded else w_trip
+    return _cmul_right(d_re, d_im, trip, precision)
+
+
+def _stage_cmul_left(w_trip, d_re, d_im, q, M, folded, stacked, precision):
+    """Sublane-contraction variant: one stacked matmul on [d_re; d_im]."""
+    if stacked:
+        S = w_trip[0]
+        n2 = 2 * M
+        Sq = S[q * n2 : (q + 1) * n2] if folded else S
+        o = _dot(Sq, jnp.concatenate([d_re, d_im], axis=0), precision)
+        return o[:M], o[M:]
+    trip = _q_trip(w_trip, q, M) if folded else w_trip
+    return _cmul_left(trip, d_re, d_im, precision)
+
+
 def _fwd_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
     """blocks: R input column blocks (rows, M).  Returns R output blocks;
     block q = frequencies {R*p+q}."""
     R = om.shape[0]
+    M = blocks_re[0].shape[1]
+    folded, stacked = _trip_mode(w_trip, M)
     out_re, out_im = [], []
     for q in range(R):
         yr = yi = None
@@ -370,9 +513,11 @@ def _fwd_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
             tr, ti = _scalar_cmul(om[q, r], blocks_re[r], blocks_im[r])
             yr = tr if yr is None else yr + tr
             yi = ti if yi is None else yi + ti
-        if q:
+        if not folded and q:
             yr, yi = _tw_mul(yr, yi, twr[q][None, :], twi[q][None, :])
-        ur, ui = _cmul_right(yr, yi, w_trip, precision)
+        ur, ui = _stage_cmul_right(
+            yr, yi, w_trip, q, M, folded, stacked, precision
+        )
         out_re.append(ur)
         out_im.append(ui)
     return out_re, out_im
@@ -382,11 +527,16 @@ def _inv_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
     """blocks: R frequency blocks (interleaved order).  Returns R spatial
     column blocks; block r = columns {j + M*r}."""
     R = om.shape[0]
+    M = blocks_re[0].shape[1]
+    folded, stacked = _trip_mode(w_trip, M)
     acc_re = [None] * R
     acc_im = [None] * R
     for q in range(R):
-        zr, zi = _cmul_right(blocks_re[q], blocks_im[q], w_trip, precision)
-        if q:
+        zr, zi = _stage_cmul_right(
+            blocks_re[q], blocks_im[q], w_trip, q, M, folded, stacked,
+            precision,
+        )
+        if not folded and q:
             zr, zi = _tw_mul(zr, zi, twr[q][None, :], twi[q][None, :])
         for r in range(R):
             tr, ti = _scalar_cmul(om[q, r], zr, zi)
@@ -398,6 +548,8 @@ def _inv_split_right(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 def _fwd_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
     """Row-block (M, lanes) variant of :func:`_fwd_split_right`."""
     R = om.shape[0]
+    M = blocks_re[0].shape[0]
+    folded, stacked = _trip_mode(w_trip, M)
     out_re, out_im = [], []
     for q in range(R):
         yr = yi = None
@@ -405,9 +557,11 @@ def _fwd_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
             tr, ti = _scalar_cmul(om[q, r], blocks_re[r], blocks_im[r])
             yr = tr if yr is None else yr + tr
             yi = ti if yi is None else yi + ti
-        if q:
+        if not folded and q:
             yr, yi = _tw_mul(yr, yi, twr[q][:, None], twi[q][:, None])
-        vr, vi = _cmul_left(w_trip, yr, yi, precision)
+        vr, vi = _stage_cmul_left(
+            w_trip, yr, yi, q, M, folded, stacked, precision
+        )
         out_re.append(vr)
         out_im.append(vi)
     return out_re, out_im
@@ -415,11 +569,16 @@ def _fwd_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 
 def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
     R = om.shape[0]
+    M = blocks_re[0].shape[0]
+    folded, stacked = _trip_mode(w_trip, M)
     acc_re = [None] * R
     acc_im = [None] * R
     for q in range(R):
-        zr, zi = _cmul_left(w_trip, blocks_re[q], blocks_im[q], precision)
-        if q:
+        zr, zi = _stage_cmul_left(
+            w_trip, blocks_re[q], blocks_im[q], q, M, folded, stacked,
+            precision,
+        )
+        if not folded and q:
             zr, zi = _tw_mul(zr, zi, twr[q][:, None], twi[q][:, None])
         for r in range(R):
             tr, ti = _scalar_cmul(om[q, r], zr, zi)
@@ -524,7 +683,8 @@ def _pass_a_kernel(
     plane: matmul rows/lanes are independent."""
     B = x_ref.shape[0]
     Y = x_ref.shape[2]
-    R, M = om_y.shape[0], wya_ref.shape[0]
+    R = om_y.shape[0]
+    M = Y // R
     fxp = fxp_ref[:]
     wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
@@ -589,7 +749,8 @@ def _pass_b_kernel(
     """split z-DFT + spectral multiply + split z-inverse for one
     x-frequency slice (1, Z, M) -> (1, Z, M).  The kernel spectrum is
     pre-permuted into the interleaved z order (split_perm)."""
-    R, M = om_zf.shape[0], fza_ref.shape[0]
+    R = om_zf.shape[0]
+    M = ure_ref.shape[1] // R
     wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
     wi = (iza_ref[:], izb_ref[:], izab_ref[:])
     ftr, fti = ftzr_ref[:], ftzi_ref[:]
@@ -619,7 +780,8 @@ def _pass_bf_kernel(
     split-stage pipeline the convolve runs (kernel_spectrum_fused): the
     output lands in exactly the interleaved (z, y) frequency order the
     spectral multiply consumes, so no permutation is ever materialized."""
-    R, M = om_zf.shape[0], fza_ref.shape[0]
+    R = om_zf.shape[0]
+    M = ure_ref.shape[1] // R
     wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
     ftr, fti = ftzr_ref[:], ftzi_ref[:]
     blk_re = [ure_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
@@ -707,7 +869,8 @@ def _pass_c_kernel(
     """split y-inverse + hermitian x-irfft for one z-slab, PLANE-BATCHED
     (see _pass_a_kernel).  u (Kxp, B, M) -> out (B, X, Y)."""
     B = out_ref.shape[0]
-    R, M = om_yi.shape[0], wya_ref.shape[0]
+    R = om_yi.shape[0]
+    M = out_ref.shape[2] // R
     wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
     twr, twi = twyr_ref[:], twyi_ref[:]
     bxp = bxp_ref[:]
@@ -755,7 +918,8 @@ def _pass_cqa_kernel(
     matching ser::compute_quotient (inc/cpu_kernels.h:20-26); division by
     zero yields inf, absorbed by the downstream clamp (kernels.py)."""
     B = view_ref.shape[0]
-    R, M = om_yi.shape[0], iya_ref.shape[0]
+    R = om_yi.shape[0]
+    M = view_ref.shape[2] // R
     wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
     itr, iti = ityr_ref[:], ityi_ref[:]
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
@@ -845,7 +1009,8 @@ def _pass_cu_kernel(
     PLANE-BATCHED: v2 (Kxp, B, M) + psi/weights slabs -> psi' (B, X, Y).
     The integral volume is never materialized in HBM."""
     B = out_ref.shape[0]
-    R, M = om_yi.shape[0], iya_ref.shape[0]
+    R = om_yi.shape[0]
+    M = out_ref.shape[2] // R
     wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
     itr, iti = ityr_ref[:], ityi_ref[:]
     bxp = bxp_ref[:]
@@ -921,7 +1086,8 @@ def _pass_cua_kernel(
     Structure mirrors _pass_cqa_kernel with the quotient epilogue
     replaced by _rl_update_block + the psi' store."""
     B = psi_out_ref.shape[0]
-    R, M = om_yi.shape[0], iya_ref.shape[0]
+    R = om_yi.shape[0]
+    M = psi_out_ref.shape[2] // R
     wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
     itr, iti = ityr_ref[:], ityi_ref[:]
     wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
@@ -1097,11 +1263,7 @@ def _run_pass_a(xt, plan, B, interpret, precision):
         in_specs=[
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
             _full(tuple(plan.fxp.shape)),
-            _full((sy.M, sy.M)),
-            _full((sy.M, sy.M)),
-            _full((sy.M, sy.M)),
-            _full((sy.R, sy.M)),
-            _full((sy.R, sy.M)),
+            *_stage_consts_fwd(sy),
         ],
         out_specs=(
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
@@ -1130,10 +1292,8 @@ def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
         grid=(Kx,),
         in_specs=[
             blk(), blk(), blk(), blk(),
-            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
-            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
-            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
-            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
+            *_stage_consts_fwd(sz),
+            *_stage_consts_inv(sz),
         ],
         out_specs=(blk(), blk()),
         out_shape=(
@@ -1157,8 +1317,7 @@ def _run_pass_bf(u_re, u_im, plan, interpret, precision):
         grid=(Kx,),
         in_specs=[
             blk(), blk(),
-            _full((sz.M, sz.M)), _full((sz.M, sz.M)), _full((sz.M, sz.M)),
-            _full((sz.R, sz.M)), _full((sz.R, sz.M)),
+            *_stage_consts_fwd(sz),
         ],
         out_specs=(blk(), blk()),
         out_shape=(
@@ -1168,6 +1327,175 @@ def _run_pass_bf(u_re, u_im, plan, interpret, precision):
         interpret=interpret,
         compiler_params=_PARAMS,
     )(u_re, u_im, *sz.wf, *sz.twf)
+
+
+def _stage_consts_fwd(s):
+    """BlockSpecs for one stage direction's constants (triple + twiddles),
+    sized from the actual arrays (the folded-twiddle triples are (R*M, M))."""
+    return [_full(tuple(a.shape)) for a in (*s.wf, *s.twf)]
+
+
+def _stage_consts_inv(s):
+    return [_full(tuple(a.shape)) for a in (*s.wi, *s.twi)]
+
+
+def _run_pass_c(v_re, v_im, plan, B, interpret, precision):
+    """split y-inverse + packed x-irfft: v (Kxp, Z, M) -> (Z, X, Y)."""
+    Z, Y, X = plan.shape
+    Kx, M, sy = plan.kxp, Y, plan.sy
+    return pl.pallas_call(
+        functools.partial(
+            _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
+            precision=precision, fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=[
+            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
+            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
+            *_stage_consts_inv(sy),
+            _full(tuple(plan.bxp.shape)),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxp)
+
+
+def _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision):
+    """Fused C + quotient + A: v1 (Kxp, Z, M) + view -> u2 (Kxp, Z, M)."""
+    Z, Y, X = plan.shape
+    Kx, M, sy = plan.kxp, Y, plan.sy
+    slab = pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM)
+    kxblk = lambda: pl.BlockSpec(
+        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
+            kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab]
+            + _stage_consts_inv(sy)
+            + [_full(tuple(plan.bxp.shape))]
+            + [_full(tuple(plan.fxp.shape))]
+            + _stage_consts_fwd(sy)
+        ),
+        out_specs=(kxblk(), kxblk()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, view_t,
+        *sy.wi, *sy.twi, plan.bxp,
+        plan.fxp, *sy.wf, *sy.twf,
+    )
+
+
+def _weight_operand(weights):
+    """(w_array, w_blockspec_factory, scalar_w) for a pass-CU/CUA call."""
+    w = jnp.asarray(weights, jnp.float32)
+    scalar_w = w.ndim < 3
+    if scalar_w:
+        return jnp.reshape(w, (1, 1)), (lambda B, X, Y: _full((1, 1))), True
+    return (
+        w,
+        lambda B, X, Y: pl.BlockSpec(
+            (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+        ),
+        False,
+    )
+
+
+def _run_pass_cu(
+    v_re, v_im, psi_t, weights, plan, B, lam, min_value, interpret, precision
+):
+    """Fused C + RL update: v2 (Kxp, Z, M) + psi/weights -> psi' (Z, X, Y)."""
+    Z, Y, X = plan.shape
+    Kx, M, sy = plan.kxp, Y, plan.sy
+    slab = lambda: pl.BlockSpec(
+        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+    )
+    kxblk = lambda: pl.BlockSpec(
+        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
+    )
+    w_arr, w_spec, scalar_w = _weight_operand(weights)
+    return pl.pallas_call(
+        functools.partial(
+            _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
+            lam=float(lam), min_value=float(min_value), precision=precision,
+            fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab(), w_spec(B, X, Y)]
+            + _stage_consts_inv(sy)
+            + [_full(tuple(plan.bxp.shape))]
+        ),
+        out_specs=pl.BlockSpec(
+            (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, psi_t, w_arr,
+        *sy.wi, *sy.twi, plan.bxp,
+    )
+
+
+def _run_pass_cua(
+    v_re, v_im, psi_t, weights, plan, B, lam, min_value, interpret, precision
+):
+    """Fused C + RL update + next pass A: -> (psi', u(psi') re, im)."""
+    Z, Y, X = plan.shape
+    Kx, M, sy = plan.kxp, Y, plan.sy
+    slab = lambda: pl.BlockSpec(
+        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
+    )
+    kxblk = lambda: pl.BlockSpec(
+        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
+    )
+    w_arr, w_spec, scalar_w = _weight_operand(weights)
+    return pl.pallas_call(
+        functools.partial(
+            _pass_cua_kernel, om_yi=sy.omi, om_yf=sy.omf,
+            kxp=plan.kxp, scalar_w=scalar_w,
+            lam=float(lam), min_value=float(min_value), precision=precision,
+            fold=plan.fold, hp=plan.hp,
+        ),
+        grid=(Z // B,),
+        in_specs=(
+            [kxblk(), kxblk(), slab(), w_spec(B, X, Y)]
+            + _stage_consts_inv(sy)
+            + [_full(tuple(plan.bxp.shape))]
+            + [_full(tuple(plan.fxp.shape))]
+            + _stage_consts_fwd(sy)
+        ),
+        out_specs=(
+            pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
+            kxblk(),
+            kxblk(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=_PARAMS,
+    )(
+        v_re, v_im, psi_t, w_arr,
+        *sy.wi, *sy.twi, plan.bxp,
+        plan.fxp, *sy.wf, *sy.twf,
+    )
 
 
 @functools.partial(
@@ -1195,43 +1523,11 @@ def fused_convolve_transposed(
         if fold_x
         else make_fused_plan((Z, Y, X))
     )
-    Kx = plan.kxp
     B = _slab(Z, X, Y)
-    M = Y
-    sy = plan.sy
-
-    params = _PARAMS
-    vmem = _VMEM
-    full = _full
 
     u_re, u_im = _run_pass_a(xt, plan, B, interpret, precision)
     v_re, v_im = _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision)
-
-    # ---- pass C: grid over z-slabs; (Kx, B, M) -> (B, X, Y)
-    out = pl.pallas_call(
-        functools.partial(
-            _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
-            precision=precision, fold=plan.fold, hp=plan.hp,
-        ),
-        grid=(Z // B,),
-        in_specs=[
-            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
-            pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=vmem),
-            full((sy.M, sy.M)),
-            full((sy.M, sy.M)),
-            full((sy.M, sy.M)),
-            full((sy.R, sy.M)),
-            full((sy.R, sy.M)),
-            full(tuple(plan.bxp.shape)),
-        ],
-        out_specs=pl.BlockSpec(
-            (B, X, Y), lambda i: (i, 0, 0), memory_space=vmem
-        ),
-        out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
-        interpret=interpret,
-        compiler_params=params,
-    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxp)
-    return out
+    return _run_pass_c(v_re, v_im, plan, B, interpret, precision)
 
 
 def fused_convolve_spectrum(
@@ -1285,90 +1581,16 @@ def fused_rl_step_transposed(
         if fold_x
         else make_fused_plan((Z, Y, X))
     )
-    Kx = plan.kxp
     B = _slab(Z, X, Y)
-    M = Y
-    sy = plan.sy
 
     u_re, u_im = _run_pass_a(psi_t, plan, B, interpret, precision)
     v_re, v_im = _run_pass_b(u_re, u_im, k1[0], k1[1], plan, interpret, precision)
-
-    slab = lambda: pl.BlockSpec(
-        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
-    )
-    kxblk = lambda: pl.BlockSpec(
-        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
-    )
-    y_inv = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-    y_fwd = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-
-    # ---- fused C + quotient + A
-    u_re, u_im = pl.pallas_call(
-        functools.partial(
-            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
-            kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab()]
-            + y_inv
-            + [_full(tuple(plan.bxp.shape))]
-            + [_full(tuple(plan.fxp.shape))]
-            + y_fwd
-        ),
-        out_specs=(kxblk(), kxblk()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, view_t,
-        *sy.wi, *sy.twi, plan.bxp,
-        plan.fxp, *sy.wf, *sy.twf,
-    )
-
+    u_re, u_im = _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision)
     v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
-
-    # ---- fused C + RL update
-    w = jnp.asarray(weights, jnp.float32)
-    scalar_w = w.ndim < 3
-    if scalar_w:
-        w_arr = jnp.reshape(w, (1, 1))
-        w_spec = _full((1, 1))
-    else:
-        w_arr = w
-        w_spec = slab()
-    psi_new = pl.pallas_call(
-        functools.partial(
-            _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
-            lam=float(lam), min_value=float(min_value), precision=precision,
-            fold=plan.fold, hp=plan.hp,
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab(), w_spec]
-            + y_inv
-            + [_full(tuple(plan.bxp.shape))]
-        ),
-        out_specs=pl.BlockSpec(
-            (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxp,
+    return _run_pass_cu(
+        v_re, v_im, psi_t, weights, plan, B, lam, min_value, interpret,
+        precision,
     )
-    return psi_new
 
 
 def fused_forward_transposed(
@@ -1426,98 +1648,15 @@ def fused_rl_step_carried(
         if fold_x
         else make_fused_plan((Z, Y, X))
     )
-    Kx = plan.kxp
     B = _slab(Z, X, Y)
-    M = Y
-    sy = plan.sy
 
     u_re, u_im = u
     v_re, v_im = _run_pass_b(u_re, u_im, k1[0], k1[1], plan, interpret, precision)
-
-    slab = lambda: pl.BlockSpec(
-        (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
-    )
-    kxblk = lambda: pl.BlockSpec(
-        (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
-    )
-    y_inv = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-    y_fwd = [
-        _full((sy.M, sy.M)), _full((sy.M, sy.M)), _full((sy.M, sy.M)),
-        _full((sy.R, sy.M)), _full((sy.R, sy.M)),
-    ]
-
-    # ---- fused C + quotient + A
-    u_re, u_im = pl.pallas_call(
-        functools.partial(
-            _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
-            kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab()]
-            + y_inv
-            + [_full(tuple(plan.bxp.shape))]
-            + [_full(tuple(plan.fxp.shape))]
-            + y_fwd
-        ),
-        out_specs=(kxblk(), kxblk()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, view_t,
-        *sy.wi, *sy.twi, plan.bxp,
-        plan.fxp, *sy.wf, *sy.twf,
-    )
-
+    u_re, u_im = _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision)
     v_re, v_im = _run_pass_b(u_re, u_im, k2[0], k2[1], plan, interpret, precision)
-
-    # ---- fused C + RL update + next pass A
-    w = jnp.asarray(weights, jnp.float32)
-    scalar_w = w.ndim < 3
-    if scalar_w:
-        w_arr = jnp.reshape(w, (1, 1))
-        w_spec = _full((1, 1))
-    else:
-        w_arr = w
-        w_spec = slab()
-    psi_new, nu_re, nu_im = pl.pallas_call(
-        functools.partial(
-            _pass_cua_kernel, om_yi=sy.omi, om_yf=sy.omf,
-            kxp=plan.kxp, scalar_w=scalar_w,
-            lam=float(lam), min_value=float(min_value), precision=precision,
-            fold=plan.fold, hp=plan.hp,
-        ),
-        grid=(Z // B,),
-        in_specs=(
-            [kxblk(), kxblk(), slab(), w_spec]
-            + y_inv
-            + [_full(tuple(plan.bxp.shape))]
-            + [_full(tuple(plan.fxp.shape))]
-            + y_fwd
-        ),
-        out_specs=(
-            pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
-            kxblk(),
-            kxblk(),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-        ),
-        interpret=interpret,
-        compiler_params=_PARAMS,
-    )(
-        v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxp,
-        plan.fxp, *sy.wf, *sy.twf,
+    psi_new, nu_re, nu_im = _run_pass_cua(
+        v_re, v_im, psi_t, weights, plan, B, lam, min_value, interpret,
+        precision,
     )
     return psi_new, (nu_re, nu_im)
 

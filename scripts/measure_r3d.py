@@ -203,16 +203,20 @@ def main():
             return psi, u
 
         rows = []
-        for name, mk in (
-            ("B", lambda n: jax.jit(functools.partial(chain_b, n=n))),
-            ("C+A", lambda n: jax.jit(functools.partial(chain_ca, n=n))),
-            ("CQA", lambda n: jax.jit(functools.partial(chain_cqa, n=n))),
+        for name, chain in (
+            ("B", chain_b), ("C+A", chain_ca), ("CQA", chain_cqa),
         ):
-            t1 = timed(lambda: mk(n1)(u0))
-            t2 = timed(lambda: mk(n2)(u0))
+            # build each jitted callable ONCE (a fresh jax.jit wrapper per
+            # timed call would retrace/recompile inside the timing)
+            f1 = jax.jit(functools.partial(chain, n=n1))
+            f2 = jax.jit(functools.partial(chain, n=n2))
+            t1 = timed(lambda: f1(u0))
+            t2 = timed(lambda: f2(u0))
             rows.append(f"{name}={(t2 - t1) / (n2 - n1) * 1e3:.3f}")
-        t1 = timed(lambda: jax.jit(functools.partial(chain_cua, n=n1))(u0, xt))
-        t2 = timed(lambda: jax.jit(functools.partial(chain_cua, n=n2))(u0, xt))
+        g1 = jax.jit(functools.partial(chain_cua, n=n1))
+        g2 = jax.jit(functools.partial(chain_cua, n=n2))
+        t1 = timed(lambda: g1(u0, xt))
+        t2 = timed(lambda: g2(u0, xt))
         rows.append(f"CUA={(t2 - t1) / (n2 - n1) * 1e3:.3f}")
         return rows
 
