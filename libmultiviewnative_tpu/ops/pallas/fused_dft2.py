@@ -708,36 +708,38 @@ def _pass_a_kernel(
                 ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
                 uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
         return
-    planes = jnp.concatenate([x_ref[b] for b in range(B)], axis=1)
-    if fold:
-        t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
-        s_re = jnp.concatenate(
-            [t_re[:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
+    for grp in _dual_groups(B):
+        G = len(grp)
+        planes = jnp.concatenate([x_ref[b] for b in grp], axis=1)
+        if fold:
+            t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
+            s_re = jnp.concatenate(
+                [t_re[:, i * Y : (i + 1) * Y] for i in range(G)], axis=0
+            )
+            s_im = jnp.concatenate(
+                [t_im[:, i * Y : (i + 1) * Y] for i in range(G)], axis=0
+            )
+        else:
+            t = _dot(fxp, planes, precision)  # (2Kxp, G*Y)
+            s_re = jnp.concatenate(
+                [t[:kxp, i * Y : (i + 1) * Y] for i in range(G)], axis=0
+            )  # (G*Kxp, Y)
+            s_im = jnp.concatenate(
+                [t[kxp:, i * Y : (i + 1) * Y] for i in range(G)], axis=0
+            )
+        blk_re = [s_re[:, r * M : (r + 1) * M] for r in range(R)]
+        blk_im = [s_im[:, r * M : (r + 1) * M] for r in range(R)]
+        out_re, out_im = _fwd_split_right(
+            blk_re, blk_im, wf, twr, twi, om_y, precision
         )
-        s_im = jnp.concatenate(
-            [t_im[:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
-        )
-    else:
-        t = _dot(fxp, planes, precision)  # (2Kxp, B*Y)
-        s_re = jnp.concatenate(
-            [t[:kxp, b * Y : (b + 1) * Y] for b in range(B)], axis=0
-        )  # (B*Kxp, Y)
-        s_im = jnp.concatenate(
-            [t[kxp:, b * Y : (b + 1) * Y] for b in range(B)], axis=0
-        )
-    blk_re = [s_re[:, r * M : (r + 1) * M] for r in range(R)]
-    blk_im = [s_im[:, r * M : (r + 1) * M] for r in range(R)]
-    out_re, out_im = _fwd_split_right(
-        blk_re, blk_im, wf, twr, twi, om_y, precision
-    )
-    for q in range(R):
-        for b in range(B):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
-                b * kxp : (b + 1) * kxp
-            ]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
-                b * kxp : (b + 1) * kxp
-            ]
+        for q in range(R):
+            for i, b in enumerate(grp):
+                ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                    i * kxp : (i + 1) * kxp
+                ]
+                uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                    i * kxp : (i + 1) * kxp
+                ]
 
 
 def _pass_b_kernel(
@@ -792,18 +794,35 @@ def _pass_bf_kernel(
         oim_ref[0, q * M : (q + 1) * M, :] = v_im[q]
 
 
-def _stack_freq_blocks(re_ref, im_ref, B, R, M, kxp):
-    """(Kxp, B, M) slab refs -> R ROW-STACKED (B*Kxp, M) block pairs
-    (plane b occupies rows [b*Kxp, (b+1)*Kxp) — every boundary 8-aligned)."""
+def _dual_groups(B: int):
+    """Plane groups per grid step.  Default: one B-plane chain.
+    LMVN_FUSED_DUAL=1 (trace-time knob) splits the slab into TWO
+    independent half-slab chains — same VMEM blocks, two dependency
+    chains, so Mosaic's scheduler can overlap one chain's VPU stage work
+    (Karatsuba splits/combines, omega accumulation, epilogues) with the
+    other chain's MXU matmuls.  Halved matmul row/lane batching is the
+    cost (e.g. 4*Kxp rows instead of 8*Kxp)."""
+    import os as _os
+
+    if _os.environ.get("LMVN_FUSED_DUAL", "0") == "1" and B >= 8 and B % 2 == 0:
+        h = B // 2
+        return [list(range(0, h)), list(range(h, B))]
+    return [list(range(B))]
+
+
+def _stack_freq_blocks(re_ref, im_ref, planes, R, M, kxp):
+    """(Kxp, B, M) slab refs -> R ROW-STACKED (len(planes)*Kxp, M) block
+    pairs for the given plane indices (stack position i = plane
+    planes[i], rows [i*Kxp, (i+1)*Kxp) — every boundary 8-aligned)."""
     blk_re = [
         jnp.concatenate(
-            [re_ref[:, b, q * M : (q + 1) * M] for b in range(B)], axis=0
+            [re_ref[:, b, q * M : (q + 1) * M] for b in planes], axis=0
         )
         for q in range(R)
     ]
     blk_im = [
         jnp.concatenate(
-            [im_ref[:, b, q * M : (q + 1) * M] for b in range(B)], axis=0
+            [im_ref[:, b, q * M : (q + 1) * M] for b in planes], axis=0
         )
         for q in range(R)
     ]
@@ -887,15 +906,21 @@ def _pass_c_kernel(
                     x=out_ref.shape[1],
                 )
         return
-    blk_re, blk_im = _stack_freq_blocks(ure_ref, uim_ref, B, R, M, kxp)
-    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, twr, twi, om_yi, precision)
-    for r in range(R):
-        out = _inv_x_planes(
-            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
-            x=out_ref.shape[1],
+    for grp in _dual_groups(B):
+        G = len(grp)
+        blk_re, blk_im = _stack_freq_blocks(ure_ref, uim_ref, grp, R, M, kxp)
+        t_re, t_im = _inv_split_right(
+            blk_re, blk_im, wi, twr, twi, om_yi, precision
         )
-        for b in range(B):
-            out_ref[b, :, r * M : (r + 1) * M] = out[:, b * M : (b + 1) * M]
+        for r in range(R):
+            out = _inv_x_planes(
+                bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                x=out_ref.shape[1],
+            )
+            for i, b in enumerate(grp):
+                out_ref[b, :, r * M : (r + 1) * M] = out[
+                    :, i * M : (i + 1) * M
+                ]
 
 
 def _pass_cqa_kernel(
@@ -951,32 +976,38 @@ def _pass_cqa_kernel(
                 ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
                 uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
         return
-    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
-    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-    q_re, q_im = [], []
-    for r in range(R):
-        blurred = _inv_x_planes(
-            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
-            x=view_ref.shape[1],
+    for grp in _dual_groups(B):
+        G = len(grp)
+        blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, grp, R, M, kxp)
+        t_re, t_im = _inv_split_right(
+            blk_re, blk_im, wi, itr, iti, om_yi, precision
         )
-        view_r = jnp.concatenate(
-            [view_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
-        )  # (X, B*M)
-        quot = view_r * (1.0 / blurred)
-        s_re, s_im = _fwd_x_planes(
-            fxp, quot, B, kxp, precision, fold=fold, hp=hp
+        q_re, q_im = [], []
+        for r in range(R):
+            blurred = _inv_x_planes(
+                bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                x=view_ref.shape[1],
+            )
+            view_r = jnp.concatenate(
+                [view_ref[b, :, r * M : (r + 1) * M] for b in grp], axis=1
+            )  # (X, G*M)
+            quot = view_r * (1.0 / blurred)
+            s_re, s_im = _fwd_x_planes(
+                fxp, quot, G, kxp, precision, fold=fold, hp=hp
+            )
+            q_re.append(s_re)
+            q_im.append(s_im)
+        out_re, out_im = _fwd_split_right(
+            q_re, q_im, wf, ftr, fti, om_yf, precision
         )
-        q_re.append(s_re)
-        q_im.append(s_im)
-    out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
-    for q in range(R):
-        for b in range(B):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
-                b * kxp : (b + 1) * kxp
-            ]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
-                b * kxp : (b + 1) * kxp
-            ]
+        for q in range(R):
+            for i, b in enumerate(grp):
+                ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                    i * kxp : (i + 1) * kxp
+                ]
+                uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                    i * kxp : (i + 1) * kxp
+                ]
 
 
 def _rl_update_block(psi, integral, w, lam: float, min_value: float):
@@ -1037,26 +1068,32 @@ def _pass_cu_kernel(
                     psi, integral, w, lam, min_value
                 )
         return
-    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
-    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-    for r in range(R):
-        integral = _inv_x_planes(
-            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
-            x=out_ref.shape[1],
+    for grp in _dual_groups(B):
+        G = len(grp)
+        blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, grp, R, M, kxp)
+        t_re, t_im = _inv_split_right(
+            blk_re, blk_im, wi, itr, iti, om_yi, precision
         )
-        psi = jnp.concatenate(
-            [psi_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
-        )
-        w = (
-            w_scalar
-            if scalar_w
-            else jnp.concatenate(
-                [w_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+        for r in range(R):
+            integral = _inv_x_planes(
+                bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                x=out_ref.shape[1],
             )
-        )
-        new = _rl_update_block(psi, integral, w, lam, min_value)
-        for b in range(B):
-            out_ref[b, :, r * M : (r + 1) * M] = new[:, b * M : (b + 1) * M]
+            psi = jnp.concatenate(
+                [psi_ref[b, :, r * M : (r + 1) * M] for b in grp], axis=1
+            )
+            w = (
+                w_scalar
+                if scalar_w
+                else jnp.concatenate(
+                    [w_ref[b, :, r * M : (r + 1) * M] for b in grp], axis=1
+                )
+            )
+            new = _rl_update_block(psi, integral, w, lam, min_value)
+            for i, b in enumerate(grp):
+                out_ref[b, :, r * M : (r + 1) * M] = new[
+                    :, i * M : (i + 1) * M
+                ]
 
 
 def _pass_cua_kernel(
@@ -1125,41 +1162,49 @@ def _pass_cua_kernel(
                 ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
                 uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
         return
-    blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, B, R, M, kxp)
-    t_re, t_im = _inv_split_right(blk_re, blk_im, wi, itr, iti, om_yi, precision)
-    q_re, q_im = [], []
-    for r in range(R):
-        integral = _inv_x_planes(
-            bxp, t_re[r], t_im[r], B, kxp, precision, fold=fold, hp=hp,
-            x=psi_out_ref.shape[1],
+    for grp in _dual_groups(B):
+        G = len(grp)
+        blk_re, blk_im = _stack_freq_blocks(vre_ref, vim_ref, grp, R, M, kxp)
+        t_re, t_im = _inv_split_right(
+            blk_re, blk_im, wi, itr, iti, om_yi, precision
         )
-        psi = jnp.concatenate(
-            [psi_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
-        )
-        w = (
-            w_scalar
-            if scalar_w
-            else jnp.concatenate(
-                [w_ref[b, :, r * M : (r + 1) * M] for b in range(B)], axis=1
+        q_re, q_im = [], []
+        for r in range(R):
+            integral = _inv_x_planes(
+                bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                x=psi_out_ref.shape[1],
             )
+            psi = jnp.concatenate(
+                [psi_ref[b, :, r * M : (r + 1) * M] for b in grp], axis=1
+            )
+            w = (
+                w_scalar
+                if scalar_w
+                else jnp.concatenate(
+                    [w_ref[b, :, r * M : (r + 1) * M] for b in grp], axis=1
+                )
+            )
+            new = _rl_update_block(psi, integral, w, lam, min_value)
+            for i, b in enumerate(grp):
+                psi_out_ref[b, :, r * M : (r + 1) * M] = new[
+                    :, i * M : (i + 1) * M
+                ]
+            s_re, s_im = _fwd_x_planes(
+                fxp, new, G, kxp, precision, fold=fold, hp=hp
+            )
+            q_re.append(s_re)
+            q_im.append(s_im)
+        out_re, out_im = _fwd_split_right(
+            q_re, q_im, wf, ftr, fti, om_yf, precision
         )
-        new = _rl_update_block(psi, integral, w, lam, min_value)
-        for b in range(B):
-            psi_out_ref[b, :, r * M : (r + 1) * M] = new[:, b * M : (b + 1) * M]
-        s_re, s_im = _fwd_x_planes(
-            fxp, new, B, kxp, precision, fold=fold, hp=hp
-        )
-        q_re.append(s_re)
-        q_im.append(s_im)
-    out_re, out_im = _fwd_split_right(q_re, q_im, wf, ftr, fti, om_yf, precision)
-    for q in range(R):
-        for b in range(B):
-            ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
-                b * kxp : (b + 1) * kxp
-            ]
-            uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
-                b * kxp : (b + 1) * kxp
-            ]
+        for q in range(R):
+            for i, b in enumerate(grp):
+                ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
+                    i * kxp : (i + 1) * kxp
+                ]
+                uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
+                    i * kxp : (i + 1) * kxp
+                ]
 
 
 def _slab(n_z: int, x: int, y: int) -> int:
@@ -1214,7 +1259,48 @@ def kernel_spectrum_fused(
             "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
         )
     interp = jax.default_backend() == "cpu"
-    wrapped = wrap_kernel(jnp.asarray(kernel, jnp.float32), shape)
+    kernel = jnp.asarray(kernel, jnp.float32)
+
+    # ---- z-sparse forwarding: the wrapped kernel occupies only kz
+    # z-planes (head {0..kz-1-cz} and tail {Z-cz..Z-1}); running pass A on
+    # a gathered Zs-plane stack and replacing pass BF's full split z-DFT
+    # with one direct (Z, Zs)-matrix contraction over the nonzero planes
+    # cuts the per-call prep ~(Z/Zs)-fold — at 512^3 the dominant cost of
+    # short deconvolve calls.  Same math (a DFT restricted to the nonzero
+    # support), same interleaved output order (T's rows are permuted by
+    # split_perm).  LMVN_FUSED_SPARSE_PREP=0 reverts to the dense BF pass.
+    import os as _os
+
+    kz = int(kernel.shape[0])
+    zs = -(-kz // 8) * 8
+    sparse = (
+        _os.environ.get("LMVN_FUSED_SPARSE_PREP", "1") == "1"
+        and zs * 2 <= Z
+    )
+    if sparse:
+        cz = kz // 2  # kernel_center, z axis
+        head = kz - cz
+        small = wrap_kernel(kernel, (zs, Y, X))
+        kt = jnp.transpose(small, (0, 2, 1))  # (Zs, X, Y)
+        plan_s = make_fused_plan((zs, Y, X))
+        u_re, u_im = _run_pass_a(kt, plan_s, 8, interp, precision)
+        # original z index of each gathered row (pad rows are zero in u,
+        # their T column is irrelevant — use 0)
+        zorig = np.zeros(zs, np.int64)
+        zorig[:head] = np.arange(head)
+        zorig[zs - cz :] = Z - cz + np.arange(cz)
+        freq = split_perm(Z, (plan.sz.R, plan.sz.M))
+        T = np.exp(-2j * np.pi * np.outer(freq, zorig) / Z)
+        with jax.ensure_compile_time_eval():
+            tr = jnp.asarray(T.real, jnp.float32)
+            ti = jnp.asarray(T.imag, jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        e = lambda a, b: jnp.einsum("ps,ksm->kpm", a, b, precision=hi)
+        v_re = e(tr, u_re) - e(ti, u_im)
+        v_im = e(tr, u_im) + e(ti, u_re)
+        return v_re, v_im
+
+    wrapped = wrap_kernel(kernel, shape)
     kt = jnp.transpose(wrapped, (0, 2, 1))  # (Z, X, Y)
     u_re, u_im = _run_pass_a(kt, plan, _slab(Z, X, Y), interp, precision)
     return _run_pass_bf(u_re, u_im, plan, interp, precision)

@@ -103,14 +103,24 @@ def main():
         t2 = timed(functools.partial(run, n_iters * 3))
         return (n_iters * 3 - n_iters) / (t2 - t1)
 
-    for carry, slab in (("1", "8"), ("0", "8"), ("1", "16")):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--configs", default="1:8:0,0:8:0,1:16:0",
+        help="comma list of carry:slab:dual triples",
+    )
+    cfgs = [c.split(":") for c in ap.parse_args().configs.split(",")]
+
+    for carry, slab, dual in cfgs:
         os.environ["LMVN_FUSED_CARRY"] = carry
         os.environ["LMVN_FUSED_SLAB"] = slab
+        os.environ["LMVN_FUSED_DUAL"] = dual
         jax.clear_caches()
         fd.make_fused_plan.cache_clear()
         r = rate()
-        log(f"512^3 4-view twfold=1 carry={carry} slab={slab}: {r:.2f} it/s  "
-            f"(carry=1 slab=8 earlier this part: 11.22)")
+        log(f"512^3 4-view twfold=1 carry={carry} slab={slab} dual={dual}: "
+            f"{r:.2f} it/s  (carry=1 slab=8 dual=0 part D: 11.22)")
 
 
 if __name__ == "__main__":

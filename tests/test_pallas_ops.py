@@ -423,3 +423,29 @@ def test_fused2_twiddle_fold_matches_oracle(twfold, rng):
         x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
     )
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+@pytest.mark.parametrize(
+    "shape,kshape",
+    [((64, 256, 16), (5, 5, 5)), ((256, 16, 16), (21, 9, 9)),
+     ((64, 16, 16), (8, 6, 6))],
+    ids=str,
+)
+def test_fused2_sparse_prep_matches_dense(shape, kshape, rng, monkeypatch):
+    """Z-sparse kernel-spectrum forwarding (pass A on the gathered nonzero
+    planes + one direct (Z, Zs) contraction) must produce the same spectrum
+    as the dense pass A + BF pipeline — including even kernels (asymmetric
+    wrap split) and kernels spanning multiple 8-plane slabs."""
+    from libmultiviewnative_tpu.ops.pallas import fused_dft2 as fd
+
+    k = rng.standard_normal(kshape).astype(np.float32)
+    specs = {}
+    for sp in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_SPARSE_PREP", sp)
+        kr, ki = fd.kernel_spectrum_fused(jnp.asarray(k), shape,
+                                          precision="highest")
+        specs[sp] = (np.asarray(kr), np.asarray(ki))
+    scale = np.abs(specs["0"][0]).max()
+    for part in (0, 1):
+        d = np.abs(specs["0"][part] - specs["1"][part]).max()
+        assert d / scale < 1e-5, (part, d, scale)
