@@ -133,8 +133,11 @@ def deconvolve_auto(
       * ``algorithm`` and ``elementwise`` are forwarded to every rung
         (in-core, sharded, interleaved, streamed); the interleaved rung
         supports fft/dft/fused engines (an explicit 'direct' request skips
-        it); an explicit 'fused' request on the sharded/streamed rungs
-        diverges loudly to per-rung 'auto'.
+        it); the sharded rung supports fft/dft/fused (fused whenever the
+        shard geometry meets the Mosaic layout constraints, see
+        parallel.sharded.sharded_fused_eligible — ineligible fused
+        requests diverge loudly to the rung's 'auto', as do explicit
+        'fused' requests on the streamed rung).
       * ``adjoint_kernel2``: the sharded/streamed rungs (which consume
         spatial kernels) receive a materialized flip(kernel1) in place of
         data.kernel2 — equivalent to the in-core conjugate-spectrum path
@@ -237,11 +240,23 @@ def deconvolve_auto(
                 f"dispatch: sharded mesh {dict(mesh.shape)} "
                 f"(est {est>>20} MiB over {n_dev} devices)"
             )
+            # the fused Mosaic engine now rides the mesh (view-sharded
+            # full volumes or %8-padded z-block overlap-save) — honor an
+            # explicit request whenever the shard geometry is eligible,
+            # matching the reference's one-engine-serves-every-strategy
+            # contract (inc/gpu_convolve.cuh:113-142)
+            from ..parallel.sharded import sharded_fused_eligible
+
+            supported = ("fft", "dft", "auto") + (
+                ("fused",)
+                if sharded_fused_eligible(data.spatial_shape, mesh)
+                else ()
+            )
             psi_s, data_s = shard_workspace(data, psi, mesh)
             return deconvolve_sharded_jit(
                 psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
                 lam=lam, min_value=min_value,
-                algorithm=demote("mesh-sharded", ("fft", "dft", "auto")),
+                algorithm=demote("mesh-sharded", supported),
                 elementwise=elementwise,
             )
         trace_print("dispatch: no valid mesh factorization; streaming")

@@ -152,7 +152,13 @@ class FusedPlan(NamedTuple):
 
 
 def _triple(a: np.ndarray, b: np.ndarray):
-    f32 = lambda m: jnp.asarray(m, jnp.float32)
+    # plan constants stay NUMPY: a jnp constant created while tracing
+    # inside a shard_map Manual-mesh context bakes that mesh into its
+    # aval, and the lru-cached plan would then poison later traces under
+    # other meshes ("context mesh should match the aval mesh").  numpy
+    # arrays are mesh-free and fold into each traced program as
+    # constants (they are pallas_call operands, all tiny).
+    f32 = lambda m: np.asarray(m, np.float32)
     return (f32(a), f32(b), f32(a + b))
 
 
@@ -206,7 +212,7 @@ def _make_split(
     assert R * M == n, (R, M, n)
     jm = np.outer(np.arange(M), np.arange(M)) * (2.0 * np.pi / M)
     qj = np.outer(np.arange(R), np.arange(M)) * (2.0 * np.pi / n)
-    f32 = lambda m: jnp.asarray(m, jnp.float32)
+    f32 = lambda m: np.asarray(m, np.float32)  # numpy: see _triple
     Wf = np.exp(-1j * jm)
     Wi = np.exp(+1j * jm) / M
     if twfold and R > 1:
@@ -221,7 +227,7 @@ def _make_split(
     else:
         fq, iq = [Wf], [Wi]
     if cmul == "stacked":
-        dummy = jnp.zeros((8, 128), jnp.float32)
+        dummy = np.zeros((8, 128), np.float32)
         wf = (
             f32(np.concatenate([_stack_cmplx(w, orient) for w in fq], axis=0)),
             dummy, dummy,
@@ -323,23 +329,23 @@ def _make_fused_plan(
         bxp[:, :kx] = (w[None, :] * np.cos(tx).T) / X
         bxp[:, kxp : kxp + kx] = -(w[None, :] * np.sin(tx).T) / X
 
-    with jax.ensure_compile_time_eval():
-        f32 = lambda a: jnp.asarray(a, jnp.float32)
-        return FusedPlan(
-            fxp=f32(fxp),
-            sy=_make_split(
-                Y, splits[1], orient="right", twfold=twfold, cmul=cmul
-            ),
-            sz=_make_split(
-                Z, splits[0], orient="left", twfold=twfold, cmul=cmul
-            ),
-            bxp=f32(bxp),
-            shape=(Z, Y, X),
-            kxh=kx,
-            kxp=kxp,
-            fold=fold_x,
-            hp=hp,
-        )
+    # plan constants are numpy (mesh-free): see _triple
+    f32 = lambda a: np.asarray(a, np.float32)
+    return FusedPlan(
+        fxp=f32(fxp),
+        sy=_make_split(
+            Y, splits[1], orient="right", twfold=twfold, cmul=cmul
+        ),
+        sz=_make_split(
+            Z, splits[0], orient="left", twfold=twfold, cmul=cmul
+        ),
+        bxp=f32(bxp),
+        shape=(Z, Y, X),
+        kxh=kx,
+        kxp=kxp,
+        fold=fold_x,
+        hp=hp,
+    )
 
 
 def split_perm(n: int, split: Tuple[int, int]) -> np.ndarray:
@@ -1291,9 +1297,8 @@ def kernel_spectrum_fused(
         zorig[zs - cz :] = Z - cz + np.arange(cz)
         freq = split_perm(Z, (plan.sz.R, plan.sz.M))
         T = np.exp(-2j * np.pi * np.outer(freq, zorig) / Z)
-        with jax.ensure_compile_time_eval():
-            tr = jnp.asarray(T.real, jnp.float32)
-            ti = jnp.asarray(T.imag, jnp.float32)
+        tr = np.asarray(T.real, np.float32)  # numpy: see _triple
+        ti = np.asarray(T.imag, np.float32)
         hi = jax.lax.Precision.HIGHEST
         e = lambda a, b: jnp.einsum("ps,ksm->kpm", a, b, precision=hi)
         v_re = e(tr, u_re) - e(ti, u_im)

@@ -121,3 +121,74 @@ def convolve_zblock_dft(
     ext = halo_exchange_z(block, lo, hi, axis_name)
     out = dft_convolve_spectrum(ext, kernel_split_ext[0], kernel_split_ext[1])
     return lax.slice_in_dim(out, lo, lo + bz, axis=out.ndim - 3)
+
+
+def zblock_fused_extent(bz: int, lo: int, hi: int) -> int:
+    """Fused-engine z extent for a halo-extended block: Bz + lo + hi,
+    rounded UP to the Mosaic 8-sublane constraint (ops.pallas.fused_dft2
+    requires all axes %8).  The extra pad planes are zeros appended BELOW
+    the halo-extended block; output planes [lo, lo+Bz) of the circular
+    convolve at the padded extent never read past plane Bz+lo+hi-1, so
+    the pad changes nothing (overlap-save crop argument, see
+    :func:`convolve_zblock`)."""
+    ext = bz + lo + hi
+    return -(-ext // 8) * 8
+
+
+def zblock_kernel_spectrum_fused(
+    kernel: jnp.ndarray, local_spatial: Tuple[int, int, int]
+):
+    """Fused-layout (Kxp, Q, M) split spectrum at the PADDED halo-extended
+    extent (:func:`zblock_fused_extent`) — the z-block analog of
+    deconv.rl.prepare_spectra_fused, so the production Mosaic engine
+    serves the mesh rung with the same one-kernel-per-strategy contract
+    as the reference's inplace_convolve_on_device
+    (/root/reference/inc/gpu_convolve.cuh:113-142)."""
+    from ..ops.pallas.fused_dft2 import kernel_spectrum_fused
+
+    (lo_z, _, _), (hi_z, _, _) = halo_widths(kernel.shape)
+    ze = zblock_fused_extent(local_spatial[0], lo_z, hi_z)
+    return kernel_spectrum_fused(
+        kernel, (ze, local_spatial[1], local_spatial[2])
+    )
+
+
+def convolve_zblock_fused(
+    block_t: jnp.ndarray,
+    kernel_fused_ext,
+    lo: int,
+    hi: int,
+    axis_name: str,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Overlap-save circular convolution of a z-sharded volume with the
+    fully-fused Mosaic engine.
+
+    ``block_t``: local TRANSPOSED (Bz, X, Y) shard (the fused engine's
+    (Z, X, Y) domain — callers transpose once outside the iteration loop,
+    exactly like the in-core driver); ``kernel_fused_ext``: (re, im)
+    split spectrum at the padded extent from
+    :func:`zblock_kernel_spectrum_fused`.  The halo-extended block is
+    zero-padded to the %8 extent, convolved circularly there, and the
+    central [lo, lo+Bz) planes cropped — exact for the global circular
+    boundary (:func:`convolve_zblock`'s argument plus the pad-plane
+    argument in :func:`zblock_fused_extent`)."""
+    from ..ops.pallas.fused_dft2 import fused_convolve_transposed
+
+    bz = block_t.shape[-3]
+    ext = halo_exchange_z(block_t, lo, hi, axis_name)
+    ze = zblock_fused_extent(bz, lo, hi)
+    pad = ze - ext.shape[-3]
+    if pad:
+        ext = jnp.concatenate(
+            [ext, jnp.zeros((pad,) + ext.shape[-2:], ext.dtype)], axis=-3
+        )
+    out = fused_convolve_transposed(
+        ext,
+        kernel_fused_ext[0],
+        kernel_fused_ext[1],
+        interpret=interpret,
+        precision=precision,
+    )
+    return lax.slice_in_dim(out, lo, lo + bz, axis=out.ndim - 3)

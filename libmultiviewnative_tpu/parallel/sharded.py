@@ -35,11 +35,31 @@ from ..deconv.workspace import MultiViewData
 from .halo import (
     convolve_zblock,
     convolve_zblock_dft,
+    convolve_zblock_fused,
     zblock_kernel_spectrum,
+    zblock_kernel_spectrum_fused,
     zblock_kernel_spectrum_split,
 )
 
 shard_map = jax.shard_map
+
+
+def sharded_fused_eligible(spatial, mesh: Mesh) -> bool:
+    """Whether the fused Mosaic engine can serve a ('view','z')-sharded
+    problem of global (Z, Y, X) ``spatial`` on ``mesh``: Y/X must satisfy
+    the kernel's lane/sublane constraints (X even, Y/X %8); the z extent
+    is covered either by the full local block (z axis == 1: Bz == Z must
+    be %8) or by the %8-padded halo-extended extent (z axis > 1, any Bz).
+    Like deconv.rl.fused_eligible, a CPU backend is excluded — interpret
+    mode is correct but far slower than the fft engine, so 'auto' never
+    picks it there (explicit requests still run, for tests)."""
+    Z, Y, X = (int(s) for s in spatial[-3:])
+    zsize = mesh.shape["z"]
+    if X % 2 or X % 8 or Y % 8:
+        return False
+    if zsize == 1 and Z % 8:
+        return False
+    return jax.default_backend() != "cpu"
 
 
 def make_mesh(
@@ -94,6 +114,54 @@ def _local_view_sweep(
     return psi + delta
 
 
+def _local_view_sweep_fused(
+    psi_t, views_t, k1, k2, weights, lam, min_value, lo1, hi1, lo2, hi2,
+    full_volume: bool, interpret: bool, precision: str, update_fn=rl_update,
+):
+    """One simultaneous RL sweep with the fused Mosaic engine on TRANSPOSED
+    (Bz, X, Y) blocks.
+
+    ``full_volume`` (z axis == 1): each device holds the whole volume, so
+    the entire view step runs as the production 5-pass fully-fused RL step
+    (fused_rl_step_transposed) — no halos, quotient/integral never in HBM.
+    Otherwise each convolve is the overlap-save
+    :func:`~libmultiviewnative_tpu.parallel.halo.convolve_zblock_fused`
+    at the %8-padded halo-extended extent, with the quotient/update
+    elementwise between them (layout-agnostic).
+
+    The view loop is a static python loop, not a vmap: vmapping a chain
+    of Mosaic pallas_calls would batch the grid, and the local view count
+    is small/static anyway (mirrors the in-core driver's unrolled view
+    loop).  Weighted deltas are summed locally and psum'd over 'view' —
+    the simultaneous blend."""
+    from ..ops.pallas.fused_dft2 import fused_rl_step_transposed
+
+    Vl = int(views_t.shape[0])
+    delta = jnp.zeros_like(psi_t)
+    for v in range(Vl):
+        view_t = views_t[v]
+        w = weights[v]
+        k1v = (k1[0][v], k1[1][v])
+        k2v = (k2[0][v], k2[1][v])
+        if full_volume:
+            new = fused_rl_step_transposed(
+                psi_t, view_t, w, k1v, k2v, lam, min_value,
+                interpret=interpret, precision=precision,
+            )
+        else:
+            blurred = convolve_zblock_fused(
+                psi_t, k1v, lo1, hi1, "z", interpret, precision
+            )
+            quot = view_t * (1.0 / blurred)
+            integral = convolve_zblock_fused(
+                quot, k2v, lo2, hi2, "z", interpret, precision
+            )
+            new = update_fn(psi_t, integral, w, lam, min_value)
+        delta = delta + (new - psi_t)
+    delta = lax.psum(delta, "view")
+    return psi_t + delta
+
+
 def deconvolve_sharded(
     psi: jnp.ndarray,
     data: MultiViewData,
@@ -128,33 +196,78 @@ def deconvolve_sharded(
             f"Z block {bz} smaller than PSF halo "
             f"{max(lo1, hi1, lo2, hi2)}; use fewer z shards"
         )
-    if algorithm not in ("fft", "dft", "auto"):
-        # the Z-block overlap-save engines are fft/dft; a 'direct' or
-        # 'fused' (or typo'd) request must not silently become fft —
+    if algorithm not in ("fft", "dft", "fused", "auto"):
+        # a 'direct' (or typo'd) request must not silently become fft —
         # mirror the in-core driver's unknown-algorithm error
         raise ValueError(
-            f"sharded rung supports algorithm 'fft'|'dft'|'auto', got "
-            f"{algorithm!r}"
+            f"sharded rung supports algorithm 'fft'|'dft'|'fused'|'auto', "
+            f"got {algorithm!r}"
         )
+    spatial = tuple(int(s) for s in psi.shape[-3:])
+    local_spatial = (bz, spatial[1], spatial[2])
+    # resolve 'auto' HERE (local shapes are static): the fused Mosaic
+    # engine where its layout constraints hold and the extent is in its
+    # measured-win regime (>= 256-class, docs/PERFORMANCE.md); below
+    # that, halo-extended blocks are small and rarely power-of-2 — the
+    # MXU DFT engine's territory; XLA FFT as the general fallback.
+    ext_max = max(
+        bz + max(lo1 + hi1, lo2 + hi2), spatial[1], spatial[2]
+    )
+    algo = algorithm
+    if algo == "auto":
+        if ext_max >= 256 and sharded_fused_eligible(spatial, mesh):
+            algo = "fused"
+        elif ext_max <= 256:
+            algo = "dft"
+        else:
+            algo = "fft"
+    if algo == "fused":
+        Y, X = spatial[1], spatial[2]
+        if X % 2 or X % 8 or Y % 8 or (zsize == 1 and bz % 8):
+            raise ValueError(
+                "sharded fused engine requires even X, Y/X multiples of 8 "
+                f"(and Bz %% 8 when the z axis is 1); got local block "
+                f"{local_spatial} on mesh {dict(mesh.shape)}"
+            )
     from ..deconv.rl import _select_rl_update
 
     update_fn = _select_rl_update(elementwise)
 
+    if algo == "fused":
+        from ..core import dft as _dft
+
+        _interp = jax.default_backend() == "cpu"
+        _prec = (
+            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
+        )
+        full_volume = zsize == 1
+
     def step(psi_local, views, k1, k2, w):
-        local_spatial = psi_local.shape
-        algo = algorithm
-        if algo == "auto":
-            # halo-extended blocks are small and rarely power-of-2 — the
-            # MXU DFT engine's territory
-            ext_max = max(
-                local_spatial[0]
-                + max(lo1 + hi1, lo2 + hi2),
-                local_spatial[1],
-                local_spatial[2],
-            )
-            algo = "dft" if ext_max <= 256 else "fft"
         # forward every kernel ONCE, outside the iteration scan
-        if algo == "dft":
+        if algo == "fused":
+            # fused-layout spectra: full local extent when each device
+            # holds the whole volume, else the %8-padded halo-extended
+            # extent.  Static python loop over the local views (small V).
+            from ..ops.pallas.fused_dft2 import kernel_spectrum_fused
+
+            def spectra(kstack):
+                if full_volume:
+                    outs = [
+                        kernel_spectrum_fused(kstack[v], local_spatial)
+                        for v in range(int(kstack.shape[0]))
+                    ]
+                else:
+                    outs = [
+                        zblock_kernel_spectrum_fused(kstack[v], local_spatial)
+                        for v in range(int(kstack.shape[0]))
+                    ]
+                return (
+                    jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]),
+                )
+
+            k1h, k2h = spectra(k1), spectra(k2)
+        elif algo == "dft":
             k1h = jax.vmap(
                 lambda k: zblock_kernel_spectrum_split(k, local_spatial)
             )(k1)
@@ -166,18 +279,34 @@ def deconvolve_sharded(
             k2h = jax.vmap(lambda k: zblock_kernel_spectrum(k, local_spatial))(k2)
 
         def sweep(p, _):
-            p = _local_view_sweep(
-                p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2, hi2,
-                algo, update_fn,
-            )
+            if algo == "fused":
+                p = _local_view_sweep_fused(
+                    p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2,
+                    hi2, full_volume, _interp, _prec, update_fn,
+                )
+            else:
+                p = _local_view_sweep(
+                    p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2,
+                    hi2, algo, update_fn,
+                )
             return p, None
 
         out, _ = lax.scan(sweep, psi_local, None, length=num_iterations)
         return out
 
+    views, weights = data.views, data.weights
+    if algo == "fused":
+        # the fused engine's (Z, X, Y) transposed domain: transpose ONCE,
+        # OUTSIDE shard_map/the iteration scan (the z axis stays leading,
+        # so the 'z' shardings and ring halo exchange are unchanged —
+        # same convention as the in-core driver, deconv.rl)
+        psi = jnp.transpose(psi, (0, 2, 1))
+        views = jnp.transpose(views, (0, 1, 3, 2))
+        if weights.ndim > 1:
+            weights = jnp.transpose(weights, (0, 1, 3, 2))
     w_spec = (
         P("view")
-        if data.weights.ndim == 1  # per-view scalar weights
+        if weights.ndim == 1  # per-view scalar weights
         else P("view", "z", None, None)
     )
     fn = shard_map(
@@ -191,8 +320,16 @@ def deconvolve_sharded(
             w_spec,                        # weights (stacks or scalars)
         ),
         out_specs=P("z", None, None),
+        # pallas_call (the fused engine) cannot annotate varying-mesh-axes
+        # on its out_shape structs, which trips shard_map's vma validation;
+        # collective correctness is covered by the vs-single-device tests.
+        # fft/dft keep the validation.
+        check_vma=(algo != "fused"),
     )
-    return fn(psi, data.views, data.kernel1, data.kernel2, data.weights)
+    out = fn(psi, views, data.kernel1, data.kernel2, weights)
+    if algo == "fused":
+        out = jnp.transpose(out, (0, 2, 1))
+    return out
 
 
 def shard_workspace(

@@ -369,8 +369,9 @@ def test_fused_honored_on_interleaved_rung(rng, monkeypatch):
 
 
 def test_sharded_rung_rejects_unsupported_engine(rng):
-    """deconvolve_sharded must not silently serve 'direct'/'fused'/typos
-    with the fft path."""
+    """deconvolve_sharded must not silently serve 'direct'/typos with the
+    fft path ('fused' is a supported mesh engine since round 4; its shape
+    gating is covered in test_sharded.py)."""
     from libmultiviewnative_tpu.parallel.sharded import (
         deconvolve_sharded,
         make_mesh,
@@ -381,7 +382,7 @@ def test_sharded_rung_rejects_unsupported_engine(rng):
     psi0 = jnp.full((16, 8, 8), 100.0, jnp.float32)
     mesh = make_mesh(view_parallel=2, z_parallel=4)
     psi_s, data_s = shard_workspace(data, psi0, mesh)
-    for bad in ("direct", "fused", "dtf"):
+    for bad in ("direct", "dtf"):
         with pytest.raises(ValueError, match="sharded rung supports"):
             deconvolve_sharded(psi_s, data_s, 1, mesh, algorithm=bad)
 

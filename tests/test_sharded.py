@@ -159,3 +159,116 @@ def test_sharded_dft_engine_matches_fft(algorithm):
         deconvolve_sharded(psi_s + 0, data_s, 2, mesh, algorithm=algorithm)
     )
     assert rms(a, b) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# fused Mosaic engine on the mesh (round-4: the production engine must
+# survive scaling — one engine serves every strategy, the reference's
+# inplace_convolve_on_device contract, inc/gpu_convolve.cuh:113-142).
+# CPU mesh runs the Pallas kernels in interpret mode.
+# ---------------------------------------------------------------------------
+
+
+def _fused_problem(num_views, shape, seed=9, kshape=(3, 3, 3),
+                   scalar_weights=False):
+    rng = np.random.default_rng(seed)
+    views = rng.gamma(2.0, 20.0, (num_views,) + shape).astype(np.float32)
+    k1 = np.stack(
+        [gaussian_kernel(kshape, 0.8 + 0.2 * v) for v in range(num_views)]
+    )
+    k2 = np.flip(k1, axis=(1, 2, 3)).copy()
+    w = (
+        np.full((num_views,), 1.0 / num_views, np.float32)
+        if scalar_weights
+        else np.full((num_views,) + shape, 1.0 / num_views, np.float32)
+    )
+    return MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k2),
+        weights=jnp.asarray(w),
+    )
+
+
+def _run_sharded_vs_single(data, shape, vp, zp, iters=2, tol=1e-4,
+                           n_dev=None):
+    psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
+    want = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), data, num_iterations=iters,
+            view_order="simultaneous",
+        )
+    )
+    devices = np.asarray(jax.devices()[: vp * zp])
+    mesh = make_mesh(view_parallel=vp, z_parallel=zp, devices=devices)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    out = np.asarray(
+        deconvolve_sharded(
+            psi_s, data_s, iters, mesh, algorithm="fused"
+        )
+    )
+    assert np.all(np.isfinite(out))
+    assert rms(out, want) < tol, rms(out, want)
+
+
+def test_sharded_fused_view_only_matches_single_device():
+    """z axis == 1: per-device full volumes run the production 5-pass
+    fully-fused RL step; weighted deltas psum over 'view'."""
+    shape = (16, 16, 16)
+    data = _fused_problem(4, shape)
+    _run_sharded_vs_single(data, shape, vp=4, zp=1)
+
+
+def test_sharded_fused_zblock_matches_single_device():
+    """z axis > 1: overlap-save fused convolves at the %8-padded
+    halo-extended extent (3^3 kernel -> ext 6 -> padded 8)."""
+    shape = (16, 16, 16)
+    data = _fused_problem(2, shape)
+    _run_sharded_vs_single(data, shape, vp=2, zp=4)
+
+
+def test_sharded_fused_zblock_scalar_weights():
+    shape = (16, 16, 16)
+    data = _fused_problem(2, shape, scalar_weights=True)
+    _run_sharded_vs_single(data, shape, vp=2, zp=4)
+
+
+def test_sharded_fused_wide_lanes():
+    """Lane-realistic geometry (Y = X = 128): the plane-batched fused
+    path, on the mesh, 1 iteration (round-3 lesson: thin (…, 8, 8)
+    geometry misses real lane-layout bugs)."""
+    shape = (16, 128, 128)
+    data = _fused_problem(2, shape)
+    _run_sharded_vs_single(data, shape, vp=2, zp=4, iters=1)
+
+
+def test_sharded_fused_misaligned_y():
+    """Y = 136 (%8 but not %128): the per-plane lane-misaligned routing,
+    on the mesh (the 264-class failure shape family from the round-3
+    stability ladder)."""
+    shape = (16, 136, 16)
+    data = _fused_problem(2, shape)
+    _run_sharded_vs_single(data, shape, vp=2, zp=4, iters=1)
+
+
+def test_sharded_fused_rejects_ineligible_geometry():
+    """Odd X violates the Mosaic layout constraints — an explicit fused
+    request must raise, not silently demote (dispatch demotes loudly)."""
+    shape = (16, 8, 9)
+    data = _fused_problem(2, shape)
+    psi0 = jnp.zeros(shape, jnp.float32)
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    with pytest.raises(ValueError, match="fused engine requires"):
+        deconvolve_sharded(psi_s, data_s, 1, mesh, algorithm="fused")
+
+
+def test_sharded_auto_never_fused_on_cpu():
+    """'auto' must not route to interpret-mode fused on the CPU mesh
+    (mirrors deconv.rl.fused_eligible's backend gate)."""
+    from libmultiviewnative_tpu.parallel.sharded import (
+        sharded_fused_eligible,
+    )
+
+    mesh = make_mesh(view_parallel=2, z_parallel=4)
+    assert not sharded_fused_eligible((256, 256, 256), mesh)
