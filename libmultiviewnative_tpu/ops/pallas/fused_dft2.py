@@ -110,12 +110,18 @@ class SplitSpec(NamedTuple):
 
     R: int
     M: int
-    wf: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
-    twf: Tuple[jnp.ndarray, jnp.ndarray]
-    wi: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
-    twi: Tuple[jnp.ndarray, jnp.ndarray]
+    wf: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    twf: Tuple[np.ndarray, np.ndarray]
+    wi: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    twi: Tuple[np.ndarray, np.ndarray]
     omf: np.ndarray
     omi: np.ndarray
+    # plan-time bf16 hi/lo splits of wf/wi, stacked (2, rows, cols) —
+    # LMVN_FUSED_PRESPLIT=1 passes these instead of the f32 triples so
+    # the per-grid-step VPU split of the loop-invariant stage matrices
+    # disappears from the bf16_3x critical path (round-4 floor lever)
+    wf2: Tuple[np.ndarray, np.ndarray, np.ndarray] = None
+    wi2: Tuple[np.ndarray, np.ndarray, np.ndarray] = None
 
 
 class FusedPlan(NamedTuple):
@@ -145,6 +151,10 @@ class FusedPlan(NamedTuple):
     # halves (docs/ROADMAP.md; identities proven in tests/test_fold_design)
     fold: bool = False
     hp: int = 0  # fold row stride: H+1 rounded up to a multiple of 8
+    # plan-time bf16 hi/lo splits of the packed x matrices (see
+    # SplitSpec.wf2); None in fold mode (presplit skips the fold path)
+    fxp2: np.ndarray = None
+    bxp2: np.ndarray = None
 
     @property
     def kx(self) -> int:
@@ -160,6 +170,23 @@ def _triple(a: np.ndarray, b: np.ndarray):
     # constants (they are pallas_call operands, all tiny).
     f32 = lambda m: np.asarray(m, np.float32)
     return (f32(a), f32(b), f32(a + b))
+
+
+def _np_split_bf16(a: np.ndarray) -> np.ndarray:
+    """Plan-time hi/lo bf16 split of an f32 constant, stacked (2, …) —
+    bit-identical to the runtime :func:`_split_bf16` (both round f32 ->
+    bf16 to-nearest-even), so LMVN_FUSED_PRESPLIT changes scheduling,
+    not values."""
+    import ml_dtypes
+
+    a = np.asarray(a, np.float32)
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, lo])
+
+
+def _presplit_triple(trip):
+    return tuple(_np_split_bf16(m) for m in trip)
 
 
 def pick_split(n: int) -> Tuple[int, int]:
@@ -250,6 +277,8 @@ def _make_split(
         twi=(f32(np.cos(qj)), f32(np.sin(qj))),
         omf=np.exp(-2j * np.pi / R * np.outer(np.arange(R), np.arange(R))),
         omi=np.exp(+2j * np.pi / R * np.outer(np.arange(R), np.arange(R))) / R,
+        wf2=_presplit_triple(wf),
+        wi2=_presplit_triple(wi),
     )
 
 
@@ -282,7 +311,10 @@ def make_fused_plan(
 make_fused_plan.cache_clear = lambda: _make_fused_plan.cache_clear()
 
 
-@functools.lru_cache(maxsize=16)
+# plans are small (a handful of <=512x128-class numpy constants); a roomy
+# cache avoids thrash when sparse prep adds per-kernel-z-extent plans on
+# top of per-shape x per-knob entries (advisor, round 3)
+@functools.lru_cache(maxsize=64)
 def _make_fused_plan(
     shape: Tuple[int, int, int],
     splits,
@@ -345,6 +377,8 @@ def _make_fused_plan(
         kxp=kxp,
         fold=fold_x,
         hp=hp,
+        fxp2=None if fold_x else _np_split_bf16(fxp),
+        bxp2=None if fold_x else _np_split_bf16(bxp),
     )
 
 
@@ -361,6 +395,29 @@ def split_perm(n: int, split: Tuple[int, int]) -> np.ndarray:
 _DIMS = (((1,), (0,)), ((), ()))
 
 
+def _spec_dtype():
+    """Trace-time knob (LMVN_FUSED_SPEC_BF16=1): HBM storage dtype for the
+    spectral intermediates (the u/v (Kxp, Z, M) volumes every pass
+    reads/writes) AND the forwarded kernel spectra.  bf16 halves the
+    dominant per-iteration HBM traffic of the fused chain — the
+    floor-shrinking lever for the 512-class bandwidth regime — at a
+    storage-only rounding cost (~2^-9 relative per HBM crossing; compute
+    stays f32 in VMEM, blocks are widened on load and rounded on store).
+    Like the other fused knobs this is read at trace time (clear jit
+    caches when flipping mid-process; the public drivers fingerprint the
+    knob env into their jit keys)."""
+    import os as _os
+
+    if _os.environ.get("LMVN_FUSED_SPEC_BF16", "0") == "1":
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _ld(x):
+    """Widen a spectral block to f32 on load (no-op for f32 refs)."""
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -372,11 +429,15 @@ def _dot(a, b, precision):
     (manual 3-pass hi/lo-bf16 decomposition — Mosaic does not lower
     jax.lax.Precision.HIGH, so the bf16_3x scheme XLA uses for HIGH is
     spelled out: a@b ~= ah@bh + ah@bl + al@bh, error ~3e-5 relative,
-    ~2x the f32 matmul rate).  Repeated splits of the loop-invariant DFT
-    matrices are CSE'd by Mosaic."""
+    ~2x the f32 matmul rate).
+
+    Either operand may arrive as a PRE-SPLIT (hi, lo) bf16 pair (the
+    LMVN_FUSED_PRESPLIT plan constants) — the runtime split is then
+    skipped for that operand.  Only valid under 'bf16_3x' (the runners
+    never pass presplit constants at 'highest')."""
     if precision == "bf16_3x":
-        ah, al = _split_bf16(a)
-        bh, bl = _split_bf16(b)
+        ah, al = a if isinstance(a, tuple) else _split_bf16(a)
+        bh, bl = b if isinstance(b, tuple) else _split_bf16(b)
         # precision pinned to DEFAULT: bf16 operands take one MXU pass
         # anyway, and leaving it unset would inherit the process-wide
         # jax_default_matmul_precision (HIGH), which Mosaic cannot lower
@@ -385,6 +446,9 @@ def _dot(a, b, precision):
             precision=jax.lax.Precision.DEFAULT,
         )
         return d(ah, bh) + d(ah, bl) + d(al, bh)
+    assert not isinstance(a, tuple) and not isinstance(b, tuple), (
+        "presplit constants require precision='bf16_3x'"
+    )
     return jax.lax.dot_general(
         a,
         b,
@@ -462,21 +526,32 @@ def _tw_mul(re, im, twr, twi):
 # ---------------------------------------------------------------------------
 
 
+def _rows(x, a, b):
+    """Row-slice a stage matrix; presplit (hi, lo) pairs slice both."""
+    if isinstance(x, tuple):
+        return (x[0][a:b], x[1][a:b])
+    return x[a:b]
+
+
 def _q_trip(trip, q, M):
     """Slice per-q stage matrices out of a folded (R*M, M) triple."""
     a, b, ab = trip
     return (
-        a[q * M : (q + 1) * M],
-        b[q * M : (q + 1) * M],
-        ab[q * M : (q + 1) * M],
+        _rows(a, q * M, (q + 1) * M),
+        _rows(b, q * M, (q + 1) * M),
+        _rows(ab, q * M, (q + 1) * M),
     )
+
+
+def _mat_shape(x):
+    return x[0].shape if isinstance(x, tuple) else x.shape
 
 
 def _trip_mode(w_trip, M):
     """(folded, stacked) from the stage-matrix shape: per-q folded stacks
     are non-square ((R*M, M) or (R*2M, 2M)); the stacked-complex form is
     2M wide (see _make_split)."""
-    rows, cols = w_trip[0].shape
+    rows, cols = _mat_shape(w_trip[0])
     return (rows != cols), (cols == 2 * M)
 
 
@@ -487,7 +562,7 @@ def _stage_cmul_right(d_re, d_im, w_trip, q, M, folded, stacked, precision):
     if stacked:
         S = w_trip[0]
         n2 = 2 * M
-        Sq = S[q * n2 : (q + 1) * n2] if folded else S
+        Sq = _rows(S, q * n2, (q + 1) * n2) if folded else S
         o = _dot(jnp.concatenate([d_re, d_im], axis=1), Sq, precision)
         return o[:, :M], o[:, M:]
     trip = _q_trip(w_trip, q, M) if folded else w_trip
@@ -499,7 +574,7 @@ def _stage_cmul_left(w_trip, d_re, d_im, q, M, folded, stacked, precision):
     if stacked:
         S = w_trip[0]
         n2 = 2 * M
-        Sq = S[q * n2 : (q + 1) * n2] if folded else S
+        Sq = _rows(S, q * n2, (q + 1) * n2) if folded else S
         o = _dot(Sq, jnp.concatenate([d_re, d_im], axis=0), precision)
         return o[:M], o[M:]
     trip = _q_trip(w_trip, q, M) if folded else w_trip
@@ -598,6 +673,27 @@ def _inv_split_left(blocks_re, blocks_im, w_trip, twr, twi, om, precision):
 # ---------------------------------------------------------------------------
 
 
+def _trip_refs(a_ref, b_ref, ab_ref):
+    """Unpack a stage-matrix triple from refs: plain f32 (rows, cols)
+    refs read whole; presplit (2, rows, cols) bf16 refs (the
+    LMVN_FUSED_PRESPLIT plan form) become (hi, lo) pairs that _dot
+    consumes without a runtime split."""
+    if a_ref.ndim == 3:
+        return (
+            (a_ref[0], a_ref[1]),
+            (b_ref[0], b_ref[1]),
+            (ab_ref[0], ab_ref[1]),
+        )
+    return (a_ref[:], b_ref[:], ab_ref[:])
+
+
+def _mat_ref(ref):
+    """Unpack a packed x matrix (same presplit convention)."""
+    if ref.ndim == 3:
+        return (ref[0], ref[1])
+    return ref[:]
+
+
 def _rev_rows(m):
     """Exact sublane-axis reversal of a 2D block, Mosaic-lowerable.
 
@@ -691,8 +787,8 @@ def _pass_a_kernel(
     Y = x_ref.shape[2]
     R = om_y.shape[0]
     M = Y // R
-    fxp = fxp_ref[:]
-    wf = (wya_ref[:], wyb_ref[:], wyab_ref[:])
+    fxp = _mat_ref(fxp_ref)
+    wf = _trip_refs(wya_ref, wyb_ref, wyab_ref)
     twr, twi = twyr_ref[:], twyi_ref[:]
     if M < 128 or (R * M) % 128:
         # narrow lanes (M < 128) OR lane-misaligned Y (Y = R*M not a
@@ -711,8 +807,12 @@ def _pass_a_kernel(
                 blk_re, blk_im, wf, twr, twi, om_y, precision
             )
             for q in range(R):
-                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
-                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q].astype(
+                    ure_ref.dtype
+                )
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q].astype(
+                    uim_ref.dtype
+                )
         return
     for grp in _dual_groups(B):
         G = len(grp)
@@ -742,10 +842,10 @@ def _pass_a_kernel(
             for i, b in enumerate(grp):
                 ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(ure_ref.dtype)
                 uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(uim_ref.dtype)
 
 
 def _pass_b_kernel(
@@ -759,23 +859,23 @@ def _pass_b_kernel(
     pre-permuted into the interleaved z order (split_perm)."""
     R = om_zf.shape[0]
     M = ure_ref.shape[1] // R
-    wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
-    wi = (iza_ref[:], izb_ref[:], izab_ref[:])
+    wf = _trip_refs(fza_ref, fzb_ref, fzab_ref)
+    wi = _trip_refs(iza_ref, izb_ref, izab_ref)
     ftr, fti = ftzr_ref[:], ftzi_ref[:]
     itr, iti = itzr_ref[:], itzi_ref[:]
-    blk_re = [ure_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
-    blk_im = [uim_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    blk_re = [_ld(ure_ref[0, r * M : (r + 1) * M, :]) for r in range(R)]
+    blk_im = [_ld(uim_ref[0, r * M : (r + 1) * M, :]) for r in range(R)]
     v_re, v_im = _fwd_split_left(blk_re, blk_im, wf, ftr, fti, om_zf, precision)
     p_re, p_im = [], []
     for q in range(R):
-        k_re = kre_ref[0, q * M : (q + 1) * M, :]
-        k_im = kim_ref[0, q * M : (q + 1) * M, :]
+        k_re = _ld(kre_ref[0, q * M : (q + 1) * M, :])
+        k_im = _ld(kim_ref[0, q * M : (q + 1) * M, :])
         p_re.append(v_re[q] * k_re - v_im[q] * k_im)
         p_im.append(v_re[q] * k_im + v_im[q] * k_re)
     w_re, w_im = _inv_split_left(p_re, p_im, wi, itr, iti, om_zi, precision)
     for r in range(R):
-        ore_ref[0, r * M : (r + 1) * M, :] = w_re[r]
-        oim_ref[0, r * M : (r + 1) * M, :] = w_im[r]
+        ore_ref[0, r * M : (r + 1) * M, :] = w_re[r].astype(ore_ref.dtype)
+        oim_ref[0, r * M : (r + 1) * M, :] = w_im[r].astype(oim_ref.dtype)
 
 
 def _pass_bf_kernel(
@@ -790,14 +890,14 @@ def _pass_bf_kernel(
     spectral multiply consumes, so no permutation is ever materialized."""
     R = om_zf.shape[0]
     M = ure_ref.shape[1] // R
-    wf = (fza_ref[:], fzb_ref[:], fzab_ref[:])
+    wf = _trip_refs(fza_ref, fzb_ref, fzab_ref)
     ftr, fti = ftzr_ref[:], ftzi_ref[:]
-    blk_re = [ure_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
-    blk_im = [uim_ref[0, r * M : (r + 1) * M, :] for r in range(R)]
+    blk_re = [_ld(ure_ref[0, r * M : (r + 1) * M, :]) for r in range(R)]
+    blk_im = [_ld(uim_ref[0, r * M : (r + 1) * M, :]) for r in range(R)]
     v_re, v_im = _fwd_split_left(blk_re, blk_im, wf, ftr, fti, om_zf, precision)
     for q in range(R):
-        ore_ref[0, q * M : (q + 1) * M, :] = v_re[q]
-        oim_ref[0, q * M : (q + 1) * M, :] = v_im[q]
+        ore_ref[0, q * M : (q + 1) * M, :] = v_re[q].astype(ore_ref.dtype)
+        oim_ref[0, q * M : (q + 1) * M, :] = v_im[q].astype(oim_ref.dtype)
 
 
 def _dual_groups(B: int):
@@ -819,17 +919,19 @@ def _dual_groups(B: int):
 def _stack_freq_blocks(re_ref, im_ref, planes, R, M, kxp):
     """(Kxp, B, M) slab refs -> R ROW-STACKED (len(planes)*Kxp, M) block
     pairs for the given plane indices (stack position i = plane
-    planes[i], rows [i*Kxp, (i+1)*Kxp) — every boundary 8-aligned)."""
+    planes[i], rows [i*Kxp, (i+1)*Kxp) — every boundary 8-aligned).
+    Spectral refs may be bf16-stored (_spec_dtype); blocks are widened to
+    f32 once, after the concat."""
     blk_re = [
-        jnp.concatenate(
+        _ld(jnp.concatenate(
             [re_ref[:, b, q * M : (q + 1) * M] for b in planes], axis=0
-        )
+        ))
         for q in range(R)
     ]
     blk_im = [
-        jnp.concatenate(
+        _ld(jnp.concatenate(
             [im_ref[:, b, q * M : (q + 1) * M] for b in planes], axis=0
-        )
+        ))
         for q in range(R)
     ]
     return blk_re, blk_im
@@ -896,13 +998,17 @@ def _pass_c_kernel(
     B = out_ref.shape[0]
     R = om_yi.shape[0]
     M = out_ref.shape[2] // R
-    wi = (wya_ref[:], wyb_ref[:], wyab_ref[:])
+    wi = _trip_refs(wya_ref, wyb_ref, wyab_ref)
     twr, twi = twyr_ref[:], twyi_ref[:]
-    bxp = bxp_ref[:]
+    bxp = _mat_ref(bxp_ref)
     if M < 128 or (R * M) % 128:
         for b in range(B):
-            blk_re = [ure_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-            blk_im = [uim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_re = [
+                _ld(ure_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
+            blk_im = [
+                _ld(uim_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
             t_re, t_im = _inv_split_right(
                 blk_re, blk_im, wi, twr, twi, om_yi, precision
             )
@@ -951,15 +1057,19 @@ def _pass_cqa_kernel(
     B = view_ref.shape[0]
     R = om_yi.shape[0]
     M = view_ref.shape[2] // R
-    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    wi = _trip_refs(iya_ref, iyb_ref, iyab_ref)
     itr, iti = ityr_ref[:], ityi_ref[:]
-    wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
+    wf = _trip_refs(fya_ref, fyb_ref, fyab_ref)
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
-    bxp, fxp = bxp_ref[:], fxp_ref[:]
+    bxp, fxp = _mat_ref(bxp_ref), _mat_ref(fxp_ref)
     if M < 128 or (R * M) % 128:
         for b in range(B):
-            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_re = [
+                _ld(vre_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
+            blk_im = [
+                _ld(vim_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
             t_re, t_im = _inv_split_right(
                 blk_re, blk_im, wi, itr, iti, om_yi, precision
             )
@@ -979,8 +1089,12 @@ def _pass_cqa_kernel(
                 q_re, q_im, wf, ftr, fti, om_yf, precision
             )
             for q in range(R):
-                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
-                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q].astype(
+                    ure_ref.dtype
+                )
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q].astype(
+                    uim_ref.dtype
+                )
         return
     for grp in _dual_groups(B):
         G = len(grp)
@@ -1010,10 +1124,10 @@ def _pass_cqa_kernel(
             for i, b in enumerate(grp):
                 ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(ure_ref.dtype)
                 uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(uim_ref.dtype)
 
 
 def _rl_update_block(psi, integral, w, lam: float, min_value: float):
@@ -1048,14 +1162,18 @@ def _pass_cu_kernel(
     B = out_ref.shape[0]
     R = om_yi.shape[0]
     M = out_ref.shape[2] // R
-    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    wi = _trip_refs(iya_ref, iyb_ref, iyab_ref)
     itr, iti = ityr_ref[:], ityi_ref[:]
-    bxp = bxp_ref[:]
+    bxp = _mat_ref(bxp_ref)
     w_scalar = w_ref[0, 0] if scalar_w else None
     if M < 128 or (R * M) % 128:
         for b in range(B):
-            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_re = [
+                _ld(vre_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
+            blk_im = [
+                _ld(vim_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
             t_re, t_im = _inv_split_right(
                 blk_re, blk_im, wi, itr, iti, om_yi, precision
             )
@@ -1131,16 +1249,20 @@ def _pass_cua_kernel(
     B = psi_out_ref.shape[0]
     R = om_yi.shape[0]
     M = psi_out_ref.shape[2] // R
-    wi = (iya_ref[:], iyb_ref[:], iyab_ref[:])
+    wi = _trip_refs(iya_ref, iyb_ref, iyab_ref)
     itr, iti = ityr_ref[:], ityi_ref[:]
-    wf = (fya_ref[:], fyb_ref[:], fyab_ref[:])
+    wf = _trip_refs(fya_ref, fyb_ref, fyab_ref)
     ftr, fti = ftyr_ref[:], ftyi_ref[:]
-    bxp, fxp = bxp_ref[:], fxp_ref[:]
+    bxp, fxp = _mat_ref(bxp_ref), _mat_ref(fxp_ref)
     w_scalar = w_ref[0, 0] if scalar_w else None
     if M < 128 or (R * M) % 128:
         for b in range(B):
-            blk_re = [vre_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
-            blk_im = [vim_ref[:, b, q * M : (q + 1) * M] for q in range(R)]
+            blk_re = [
+                _ld(vre_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
+            blk_im = [
+                _ld(vim_ref[:, b, q * M : (q + 1) * M]) for q in range(R)
+            ]
             t_re, t_im = _inv_split_right(
                 blk_re, blk_im, wi, itr, iti, om_yi, precision
             )
@@ -1165,8 +1287,12 @@ def _pass_cua_kernel(
                 q_re, q_im, wf, ftr, fti, om_yf, precision
             )
             for q in range(R):
-                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q]
-                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q]
+                ure_ref[:, b, q * M : (q + 1) * M] = o_re[q].astype(
+                    ure_ref.dtype
+                )
+                uim_ref[:, b, q * M : (q + 1) * M] = o_im[q].astype(
+                    uim_ref.dtype
+                )
         return
     for grp in _dual_groups(B):
         G = len(grp)
@@ -1207,10 +1333,10 @@ def _pass_cua_kernel(
             for i, b in enumerate(grp):
                 ure_ref[:, b, q * M : (q + 1) * M] = out_re[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(ure_ref.dtype)
                 uim_ref[:, b, q * M : (q + 1) * M] = out_im[q][
                     i * kxp : (i + 1) * kxp
-                ]
+                ].astype(uim_ref.dtype)
 
 
 def _slab(n_z: int, x: int, y: int) -> int:
@@ -1300,10 +1426,13 @@ def kernel_spectrum_fused(
         tr = np.asarray(T.real, np.float32)  # numpy: see _triple
         ti = np.asarray(T.imag, np.float32)
         hi = jax.lax.Precision.HIGHEST
-        e = lambda a, b: jnp.einsum("ps,ksm->kpm", a, b, precision=hi)
+        sd = _spec_dtype()
+        e = lambda a, b: jnp.einsum(
+            "ps,ksm->kpm", a, _ld(b), precision=hi
+        )
         v_re = e(tr, u_re) - e(ti, u_im)
         v_im = e(tr, u_im) + e(ti, u_re)
-        return v_re, v_im
+        return v_re.astype(sd), v_im.astype(sd)
 
     wrapped = wrap_kernel(kernel, shape)
     kt = jnp.transpose(wrapped, (0, 2, 1))  # (Z, X, Y)
@@ -1345,6 +1474,9 @@ def _run_pass_a(xt, plan, B, interpret, precision):
     """(Z, X, Y) -> u (Kx, Z, M) split re/im; grid over z-slabs."""
     Z, Y, X = plan.shape
     Kx, M, sy = plan.kxp, Y, plan.sy
+    ps = _presplit_on(precision, plan)
+    fxp = plan.fxp2 if ps else plan.fxp
+    fa = _stage_arrs_fwd(sy, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_a_kernel, om_y=sy.omf, kxp=plan.kxp,
@@ -1353,20 +1485,20 @@ def _run_pass_a(xt, plan, B, interpret, precision):
         grid=(Z // B,),
         in_specs=[
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
-            _full(tuple(plan.fxp.shape)),
-            *_stage_consts_fwd(sy),
+            _full(tuple(fxp.shape)),
+            *_consts_specs(fa),
         ],
         out_specs=(
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
-    )(xt, plan.fxp, *sy.wf, *sy.twf)
+    )(xt, fxp, *fa)
 
 
 def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
@@ -1376,6 +1508,8 @@ def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
     blk = lambda: pl.BlockSpec(
         (1, Z, M), lambda k: (k, 0, 0), memory_space=_VMEM
     )
+    ps = _presplit_on(precision, plan)
+    fa, ia = _stage_arrs_fwd(sz, ps), _stage_arrs_inv(sz, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_b_kernel, om_zf=sz.omf, om_zi=sz.omi, precision=precision
@@ -1383,17 +1517,17 @@ def _run_pass_b(u_re, u_im, k_re, k_im, plan, interpret, precision):
         grid=(Kx,),
         in_specs=[
             blk(), blk(), blk(), blk(),
-            *_stage_consts_fwd(sz),
-            *_stage_consts_inv(sz),
+            *_consts_specs(fa),
+            *_consts_specs(ia),
         ],
         out_specs=(blk(), blk()),
         out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
-    )(u_re, u_im, k_re, k_im, *sz.wf, *sz.twf, *sz.wi, *sz.twi)
+    )(u_re, u_im, k_re, k_im, *fa, *ia)
 
 
 def _run_pass_bf(u_re, u_im, plan, interpret, precision):
@@ -1403,37 +1537,64 @@ def _run_pass_bf(u_re, u_im, plan, interpret, precision):
     blk = lambda: pl.BlockSpec(
         (1, Z, M), lambda k: (k, 0, 0), memory_space=_VMEM
     )
+    ps = _presplit_on(precision, plan)
+    fa = _stage_arrs_fwd(sz, ps)
     return pl.pallas_call(
         functools.partial(_pass_bf_kernel, om_zf=sz.omf, precision=precision),
         grid=(Kx,),
         in_specs=[
             blk(), blk(),
-            *_stage_consts_fwd(sz),
+            *_consts_specs(fa),
         ],
         out_specs=(blk(), blk()),
         out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
-    )(u_re, u_im, *sz.wf, *sz.twf)
+    )(u_re, u_im, *fa)
 
 
-def _stage_consts_fwd(s):
-    """BlockSpecs for one stage direction's constants (triple + twiddles),
-    sized from the actual arrays (the folded-twiddle triples are (R*M, M))."""
-    return [_full(tuple(a.shape)) for a in (*s.wf, *s.twf)]
+def _presplit_on(precision: str, plan) -> bool:
+    """Trace-time knob (LMVN_FUSED_PRESPLIT=1): feed the kernels the
+    plan-time bf16 hi/lo splits of every constant matrix instead of f32,
+    removing the per-grid-step VPU split of loop-invariant operands from
+    the bf16_3x critical path (the round-3 twfold win showed VPU stages
+    gate the MXU in the A/C passes).  Only meaningful under bf16_3x;
+    fold mode keeps f32 (its x matrices are row-sliced in-kernel)."""
+    import os as _os
+
+    return (
+        precision == "bf16_3x"
+        and not plan.fold
+        and _os.environ.get("LMVN_FUSED_PRESPLIT", "0") == "1"
+    )
 
 
-def _stage_consts_inv(s):
-    return [_full(tuple(a.shape)) for a in (*s.wi, *s.twi)]
+def _stage_arrs_fwd(s, presplit: bool):
+    """Operand arrays for one stage direction (triple + twiddles) —
+    the f32 triple or its presplit (2, rows, cols) bf16 form."""
+    return [*(s.wf2 if presplit else s.wf), *s.twf]
+
+
+def _stage_arrs_inv(s, presplit: bool):
+    return [*(s.wi2 if presplit else s.wi), *s.twi]
+
+
+def _consts_specs(arrs):
+    """BlockSpecs for constant operands, sized from the actual arrays
+    (folded-twiddle triples are (R*M, M); presplit forms (2, rows, cols))."""
+    return [_full(tuple(a.shape)) for a in arrs]
 
 
 def _run_pass_c(v_re, v_im, plan, B, interpret, precision):
     """split y-inverse + packed x-irfft: v (Kxp, Z, M) -> (Z, X, Y)."""
     Z, Y, X = plan.shape
     Kx, M, sy = plan.kxp, Y, plan.sy
+    ps = _presplit_on(precision, plan)
+    bxp = plan.bxp2 if ps else plan.bxp
+    ia = _stage_arrs_inv(sy, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
@@ -1443,8 +1604,8 @@ def _run_pass_c(v_re, v_im, plan, B, interpret, precision):
         in_specs=[
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
             pl.BlockSpec((Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM),
-            *_stage_consts_inv(sy),
-            _full(tuple(plan.bxp.shape)),
+            *_consts_specs(ia),
+            _full(tuple(bxp.shape)),
         ],
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
@@ -1452,7 +1613,7 @@ def _run_pass_c(v_re, v_im, plan, B, interpret, precision):
         out_shape=jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
         interpret=interpret,
         compiler_params=_PARAMS,
-    )(v_re, v_im, *sy.wi, *sy.twi, plan.bxp)
+    )(v_re, v_im, *ia, bxp)
 
 
 def _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision):
@@ -1463,6 +1624,10 @@ def _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision):
     kxblk = lambda: pl.BlockSpec(
         (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
     )
+    ps = _presplit_on(precision, plan)
+    bxp = plan.bxp2 if ps else plan.bxp
+    fxp = plan.fxp2 if ps else plan.fxp
+    ia, fa = _stage_arrs_inv(sy, ps), _stage_arrs_fwd(sy, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
@@ -1471,22 +1636,22 @@ def _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision):
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab]
-            + _stage_consts_inv(sy)
-            + [_full(tuple(plan.bxp.shape))]
-            + [_full(tuple(plan.fxp.shape))]
-            + _stage_consts_fwd(sy)
+            + _consts_specs(ia)
+            + [_full(tuple(bxp.shape))]
+            + [_full(tuple(fxp.shape))]
+            + _consts_specs(fa)
         ),
         out_specs=(kxblk(), kxblk()),
         out_shape=(
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
     )(
         v_re, v_im, view_t,
-        *sy.wi, *sy.twi, plan.bxp,
-        plan.fxp, *sy.wf, *sy.twf,
+        *ia, bxp,
+        fxp, *fa,
     )
 
 
@@ -1518,6 +1683,9 @@ def _run_pass_cu(
         (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
     )
     w_arr, w_spec, scalar_w = _weight_operand(weights)
+    ps = _presplit_on(precision, plan)
+    bxp = plan.bxp2 if ps else plan.bxp
+    ia = _stage_arrs_inv(sy, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
@@ -1527,8 +1695,8 @@ def _run_pass_cu(
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab(), w_spec(B, X, Y)]
-            + _stage_consts_inv(sy)
-            + [_full(tuple(plan.bxp.shape))]
+            + _consts_specs(ia)
+            + [_full(tuple(bxp.shape))]
         ),
         out_specs=pl.BlockSpec(
             (B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM
@@ -1538,7 +1706,7 @@ def _run_pass_cu(
         compiler_params=_PARAMS,
     )(
         v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxp,
+        *ia, bxp,
     )
 
 
@@ -1555,6 +1723,10 @@ def _run_pass_cua(
         (Kx, B, M), lambda i: (0, i, 0), memory_space=_VMEM
     )
     w_arr, w_spec, scalar_w = _weight_operand(weights)
+    ps = _presplit_on(precision, plan)
+    bxp = plan.bxp2 if ps else plan.bxp
+    fxp = plan.fxp2 if ps else plan.fxp
+    ia, fa = _stage_arrs_inv(sy, ps), _stage_arrs_fwd(sy, ps)
     return pl.pallas_call(
         functools.partial(
             _pass_cua_kernel, om_yi=sy.omi, om_yf=sy.omf,
@@ -1565,10 +1737,10 @@ def _run_pass_cua(
         grid=(Z // B,),
         in_specs=(
             [kxblk(), kxblk(), slab(), w_spec(B, X, Y)]
-            + _stage_consts_inv(sy)
-            + [_full(tuple(plan.bxp.shape))]
-            + [_full(tuple(plan.fxp.shape))]
-            + _stage_consts_fwd(sy)
+            + _consts_specs(ia)
+            + [_full(tuple(bxp.shape))]
+            + [_full(tuple(fxp.shape))]
+            + _consts_specs(fa)
         ),
         out_specs=(
             pl.BlockSpec((B, X, Y), lambda i: (i, 0, 0), memory_space=_VMEM),
@@ -1577,15 +1749,15 @@ def _run_pass_cua(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Z, X, Y), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
-            jax.ShapeDtypeStruct((Kx, Z, M), jnp.float32),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
+            jax.ShapeDtypeStruct((Kx, Z, M), _spec_dtype()),
         ),
         interpret=interpret,
         compiler_params=_PARAMS,
     )(
         v_re, v_im, psi_t, w_arr,
-        *sy.wi, *sy.twi, plan.bxp,
-        plan.fxp, *sy.wf, *sy.twf,
+        *ia, bxp,
+        fxp, *fa,
     )
 
 

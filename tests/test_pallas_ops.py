@@ -449,3 +449,143 @@ def test_fused2_sparse_prep_matches_dense(shape, kshape, rng, monkeypatch):
     for part in (0, 1):
         d = np.abs(specs["0"][part] - specs["1"][part]).max()
         assert d / scale < 1e-5, (part, d, scale)
+
+
+# ---------------------------------------------------------------------------
+# round-4 floor levers + advisor-demanded routing coverage
+# ---------------------------------------------------------------------------
+
+
+def _rl_step_fixture(rng, shape):
+    """(psi_t, view_t, fused spectra k1/k2) for one RL view step at a
+    (Z, Y, X) shape; transposed-domain arrays."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    Z, Y, X = shape
+    view_t = jnp.asarray(rng.gamma(2.0, 10.0, (Z, X, Y)).astype(np.float32))
+    psi_t = jnp.asarray(np.full((Z, X, Y), 20.0, np.float32))
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    s1 = kernel_spectrum_fused(jnp.asarray(k1), shape)
+    s2 = kernel_spectrum_fused(jnp.asarray(np.flip(k1).copy()), shape)
+    return psi_t, view_t, s1, s2
+
+
+def _jnp_rl_step_oracle(psi_t, view_t, shape, rng_seedk=None):
+    """fft-engine view step on the same data (engine-independent truth)."""
+    from libmultiviewnative_tpu.deconv.rl import prepare_spectra, rl_view_step
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    psi = jnp.transpose(psi_t, (0, 2, 1))
+    view = jnp.transpose(view_t, (0, 2, 1))
+    k1h = prepare_spectra(jnp.asarray(k1)[None], shape)[0]
+    k2h = prepare_spectra(jnp.asarray(np.flip(k1).copy())[None], shape)[0]
+    out = rl_view_step(psi, view, k1h, k2h, np.float32(0.5), 0.006, 1e-4)
+    return np.transpose(np.asarray(out), (0, 2, 1))
+
+
+@pytest.mark.parametrize("shape", [(16, 136, 16), (16, 136, 144)], ids=str)
+def test_fused2_rl_step_lane_misaligned(shape, rng):
+    """The full fused RL step (passes CQA/CU with their quotient/update
+    epilogues) at lane-misaligned Y ((R*M) % 128 != 0, M >= 128) must take
+    the per-plane route and match the fft-engine view step — the advisor
+    noted only the convolve path (A/B/C) was covered at this geometry."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_rl_step_transposed,
+        make_fused_plan,
+    )
+
+    plan = make_fused_plan(shape)
+    assert (plan.sy.R * plan.sy.M) % 128 != 0 and plan.sy.M >= 128
+
+    psi_t, view_t, s1, s2 = _rl_step_fixture(rng, shape)
+    got = np.asarray(
+        fused_rl_step_transposed(
+            psi_t, view_t, np.float32(0.5), s1, s2, 0.006, 1e-4,
+            interpret=True,
+        )
+    )
+    want = _jnp_rl_step_oracle(psi_t, view_t, shape)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused2_dual_chain_matches_default(rng, monkeypatch):
+    """LMVN_FUSED_DUAL=1 (two independent half-slab plane chains per grid
+    step) must be value-identical to the default single chain in both the
+    convolve passes and the full RL step — the advisor noted the plane
+    regrouping had no correctness test."""
+    from libmultiviewnative_tpu.ops.pallas import fused_dft2 as fd
+
+    shape = (16, 128, 16)  # wide path (M = 128), B = 8 slab -> dual splits
+    psi_t, view_t, s1, s2 = _rl_step_fixture(rng, shape)
+    outs = {}
+    for dual in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_DUAL", dual)
+        # unjitted entry points: the knob is read at trace time, and these
+        # trace per call
+        outs[dual] = np.asarray(
+            fd.fused_rl_step_transposed(
+                psi_t, view_t, np.float32(0.5), s1, s2, 0.006, 1e-4,
+                interpret=True,
+            )
+        )
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=1e-6, atol=1e-5)
+
+
+def test_fused2_spec_bf16_storage(rng, monkeypatch):
+    """LMVN_FUSED_SPEC_BF16=1 stores the u/v spectral intermediates and
+    kernel spectra in bf16 (the 512-class HBM-floor lever); the fused RL
+    step must stay within the bf16 storage-rounding envelope of the f32
+    chain AND of the fft-engine oracle."""
+    from libmultiviewnative_tpu.ops.pallas import fused_dft2 as fd
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        kernel_spectrum_fused,
+    )
+    from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+    shape = (16, 128, 16)
+    psi_t, view_t, _, _ = _rl_step_fixture(rng, shape)
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    outs = {}
+    for sb in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_SPEC_BF16", sb)
+        # same data both rounds; only the spectra (and the chain's HBM
+        # intermediates) change representation
+        s1 = kernel_spectrum_fused(jnp.asarray(k1), shape)
+        s2 = kernel_spectrum_fused(jnp.asarray(np.flip(k1).copy()), shape)
+        assert (np.asarray(s1[0]).dtype == np.float32) == (sb == "0")
+        outs[sb] = np.asarray(
+            fd.fused_rl_step_transposed(
+                psi_t, view_t, np.float32(0.5), s1, s2, 0.006, 1e-4,
+                interpret=True,
+            )
+        )
+    scale = np.abs(outs["0"]).max()
+    rel = np.abs(outs["1"] - outs["0"]).max() / scale
+    assert rel < 2e-2, rel
+    want = _jnp_rl_step_oracle(psi_t, view_t, shape)
+    rel_oracle = np.abs(outs["1"] - want).max() / np.abs(want).max()
+    assert rel_oracle < 2e-2, rel_oracle
+
+
+def test_fused2_presplit_constants_bitwise(rng, monkeypatch):
+    """LMVN_FUSED_PRESPLIT=1 feeds plan-time bf16 hi/lo constant splits;
+    both splits round f32->bf16 to-nearest-even, so the bf16_3x RL step
+    must be value-identical to the runtime-split default."""
+    from libmultiviewnative_tpu.ops.pallas import fused_dft2 as fd
+
+    shape = (16, 128, 16)
+    psi_t, view_t, s1, s2 = _rl_step_fixture(rng, shape)
+    outs = {}
+    for ps in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_PRESPLIT", ps)
+        outs[ps] = np.asarray(
+            fd.fused_rl_step_transposed(
+                psi_t, view_t, np.float32(0.5), s1, s2, 0.006, 1e-4,
+                interpret=True, precision="bf16_3x",
+            )
+        )
+    np.testing.assert_array_equal(outs["1"], outs["0"])
