@@ -8,6 +8,9 @@ Workloads (kernel/iteration defaults from the reference synthetic bench,
 /root/reference/bench/bench_cpu_deconvolve_synthetic.cpp:55-71):
   1. headline — 4 views at 256^3, 21^3/25^3 Gaussian kernels, 10 RL
      iterations (64^3 on non-TPU hosts).
+  1b. headline_prepared — the same workload through prepare_workspace +
+     deconvolve_prepared (the time-lapse serving contract: kernel
+     spectra forwarded once, reused across calls).
   2. north star (TPU only) — 4 views at 512^3 (BASELINE.md target
      config), adjoint kernel2 + scalar weights (the HBM options that fit
      it single-chip), fused Mosaic DFT-convolve engine.
@@ -194,7 +197,34 @@ def main():
         platform=dev.platform,
         fallback=fallback,
     )
-    del data, psi0
+
+    # ---- config 1b: headline through the SERVING path (prepare once,
+    # deconvolve repeatedly — the time-lapse contract; the reference's
+    # plan_store exists precisely to make repeat calls this cheap,
+    # inc/plan_store.h:25-235).  The CPU stand-in baseline already kept
+    # its kernel FFTs outside the timed loop, so it doubles as the
+    # prepared-contract baseline (see BENCH_baseline.json note).
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve_prepared,
+        prepare_workspace,
+    )
+
+    prepared = prepare_workspace(data, shape, algorithm="auto")
+
+    def run_prepared():
+        return deconvolve_prepared(
+            psi0 + 0.0, data, prepared, num_iterations=iters,
+            lam=0.006, min_value=1e-4,
+        )
+
+    value = _time_config(run_prepared, jnp, iters, reps=4)
+    _emit(
+        f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed_prepared",
+        value,
+        platform=dev.platform,
+        fallback=fallback,
+    )
+    del data, psi0, prepared
 
     if not on_tpu:
         return

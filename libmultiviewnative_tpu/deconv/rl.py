@@ -147,11 +147,26 @@ def _carry_enabled(spatial) -> bool:
     (trace-time read — clear jit caches when flipping mid-process, as
     scripts/measure_r3b.py does)."""
     mode = os.environ.get("LMVN_FUSED_CARRY", "auto")
-    if mode in ("0", "1"):
-        return mode == "1"
     from ..core import dft as _dft
 
     bf16_3x = _dft._PREC == jax.lax.Precision.HIGH
+    if mode in ("0", "1"):
+        if (
+            mode == "1"
+            and not bf16_3x
+            and max(int(d) for d in spatial) >= 384
+        ):
+            # the forced program is KNOWN to exceed the 112 MB scoped-VMEM
+            # limit (123 MB measured for the f32 CUA pass at 512-class,
+            # round-3 perf-gate run) — refuse loudly instead of compiling
+            # a program that fails at Mosaic allocation (advisor, round 3)
+            raise ValueError(
+                "LMVN_FUSED_CARRY=1 with precision='highest' at 512-class "
+                "shapes exceeds the scoped-VMEM limit (f32 CUA pass ~123 MB "
+                "> 112 MB); use bf16_3x matmuls (set_matmul_precision"
+                "('high')) or drop the forced carry"
+            )
+        return mode == "1"
     return bf16_3x and max(int(d) for d in spatial) >= 384
 
 
@@ -250,6 +265,7 @@ def deconvolve(
     adjoint_kernel2: bool = False,
     elementwise: str = "jnp",
     track_convergence: bool = False,
+    prepared: "PreparedSpectra" = None,
 ) -> jnp.ndarray:
     """Run ``num_iterations`` RL sweeps over all views.
 
@@ -263,8 +279,23 @@ def deconvolve(
     kernel1 spectra — data.kernel2 is ignored, halving kernel-spectrum HBM
     and kernel FFT work.  Weights may be full per-voxel stacks (V, Z, Y, X)
     or per-view scalars (V,) — the uniform-blending case costs no HBM.
+
+    ``prepared`` (a :class:`PreparedSpectra` from
+    :func:`prepare_workspace`) skips the per-call kernel forwarding and
+    selects that store's engine — the serving path shares the WHOLE
+    driver (view orders, convergence tracking, engine policies) with the
+    per-call path; ``algorithm``/``adjoint_kernel2`` are then ignored
+    (both were fixed at prepare time).
     """
     spatial = tuple(psi.shape[-3:])
+    if prepared is not None:
+        if tuple(prepared.spatial) != spatial:
+            raise ValueError(
+                f"prepared spectra are for {prepared.spatial}, psi is "
+                f"{spatial}"
+            )
+        algorithm = prepared.algorithm
+        adjoint_kernel2 = False  # baked into prepared.k2 at prepare time
     if adjoint_kernel2:
         # The true adjoint kernel has center k-1-(k//2), which equals the
         # k//2 floor-center convention (inc/padd_utils.h:25-27) only for odd
@@ -291,28 +322,37 @@ def deconvolve(
         else:
             algorithm = "fft"
     if algorithm == "fft":
-        k1 = prepare_spectra(data.kernel1, spatial)
-        k2 = jnp.conj(k1) if adjoint_kernel2 else prepare_spectra(
-            data.kernel2, spatial
-        )
+        if prepared is not None:
+            k1, k2 = prepared.k1, prepared.k2
+        else:
+            k1 = prepare_spectra(data.kernel1, spatial)
+            k2 = jnp.conj(k1) if adjoint_kernel2 else prepare_spectra(
+                data.kernel2, spatial
+            )
         step = rl_view_step
     elif algorithm == "dft":
-        k1 = prepare_spectra_split(data.kernel1, spatial)
-        k2 = (
-            (k1[0], -k1[1])
-            if adjoint_kernel2
-            else prepare_spectra_split(data.kernel2, spatial)
-        )
+        if prepared is not None:
+            k1, k2 = prepared.k1, prepared.k2
+        else:
+            k1 = prepare_spectra_split(data.kernel1, spatial)
+            k2 = (
+                (k1[0], -k1[1])
+                if adjoint_kernel2
+                else prepare_spectra_split(data.kernel2, spatial)
+            )
         step = rl_view_step_dft
     elif algorithm == "fused":
         if psi.ndim != 3:
             raise ValueError("algorithm='fused' operates on single volumes")
-        k1 = prepare_spectra_fused(data.kernel1, spatial)
-        k2 = (
-            (k1[0], -k1[1])
-            if adjoint_kernel2
-            else prepare_spectra_fused(data.kernel2, spatial)
-        )
+        if prepared is not None:
+            k1, k2 = prepared.k1, prepared.k2
+        else:
+            k1 = prepare_spectra_fused(data.kernel1, spatial)
+            k2 = (
+                (k1[0], -k1[1])
+                if adjoint_kernel2
+                else prepare_spectra_fused(data.kernel2, spatial)
+            )
         step = rl_view_step_fused
     elif algorithm == "direct":
         k1 = data.kernel1
@@ -463,6 +503,28 @@ def deconvolve(
     return untranspose(get_psi(carry))
 
 
+_FUSED_KNOB_ENV = (
+    "LMVN_FUSED_CARRY",
+    "LMVN_FUSED_TWFOLD",
+    "LMVN_FUSED_CMUL",
+    "LMVN_FUSED_SPARSE_PREP",
+    "LMVN_FUSED_DUAL",
+    "LMVN_FUSED_SLAB",
+    "LMVN_FUSED_SPEC_BF16",
+    "LMVN_FUSED_PRESPLIT",
+)
+
+
+def _knob_fingerprint() -> tuple:
+    """Values of every trace-time fused-engine env knob.  The public
+    jitted drivers pass this as a STATIC argument so the jit cache keys
+    on the knob state: flipping a knob mid-process retraces instead of
+    silently reusing the stale compiled program (advisor, round 3).  Deep
+    code still reads the env at trace time — consistent, because the
+    trace happens under the same env the fingerprint captured."""
+    return tuple(os.environ.get(k) for k in _FUSED_KNOB_ENV)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -473,9 +535,36 @@ def deconvolve(
         "algorithm",
         "adjoint_kernel2",
         "elementwise",
+        "knobs",
     ),
     donate_argnums=(0,),
 )
+def _deconvolve_jit(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
+    elementwise: str = "jnp",
+    knobs: tuple = None,
+) -> jnp.ndarray:
+    del knobs  # jit cache key only (see _knob_fingerprint)
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
+        elementwise,
+    )
+
+
 def deconvolve_jit(
     psi: jnp.ndarray,
     data: MultiViewData,
@@ -488,8 +577,10 @@ def deconvolve_jit(
     elementwise: str = "jnp",
 ) -> jnp.ndarray:
     """Jitted :func:`deconvolve`; psi is donated (the in-place semantics of
-    the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55)."""
-    return deconvolve(
+    the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55).  The
+    fused-engine env knobs are fingerprinted into the jit key at CALL
+    time, so flipping e.g. LMVN_FUSED_TWFOLD mid-process retraces."""
+    return _deconvolve_jit(
         psi,
         data,
         num_iterations,
@@ -499,7 +590,11 @@ def deconvolve_jit(
         algorithm,
         adjoint_kernel2,
         elementwise,
+        knobs=_knob_fingerprint(),
     )
+
+
+deconvolve_jit._cache_size = _deconvolve_jit._cache_size
 
 
 @partial(
@@ -625,9 +720,36 @@ def prepare_workspace(
 
 @partial(
     jax.jit,
-    static_argnames=("num_iterations", "lam", "min_value", "elementwise"),
+    static_argnames=(
+        "num_iterations", "lam", "min_value", "view_order", "elementwise",
+        "knobs",
+    ),
     donate_argnums=(0,),
 )
+def _deconvolve_prepared(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    prepared: PreparedSpectra,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    elementwise: str = "jnp",
+    knobs: tuple = None,
+) -> jnp.ndarray:
+    del knobs  # jit cache key only (see _knob_fingerprint)
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        elementwise=elementwise,
+        prepared=prepared,
+    )
+
+
 def deconvolve_prepared(
     psi: jnp.ndarray,
     data: MultiViewData,
@@ -635,89 +757,36 @@ def deconvolve_prepared(
     num_iterations: int,
     lam: float = 0.0,
     min_value: float = 1e-4,
+    view_order: str = "sequential",
     elementwise: str = "jnp",
 ) -> jnp.ndarray:
-    """Sequential RL using pre-forwarded spectra (no per-call kernel FFTs).
+    """RL using pre-forwarded spectra (no per-call kernel FFTs) — the
+    time-lapse serving path.  Shares the WHOLE :func:`deconvolve` driver
+    (both view orders, the engine-aware unroll policy, the carried fused
+    chain), so its contract matches :func:`deconvolve_jit` minus the
+    prepare-time options (``algorithm``/``adjoint_kernel2`` were fixed by
+    :func:`prepare_workspace`).  psi is donated.
 
-    For ``prepared.algorithm == 'fused'`` this is the time-lapse serving
-    path of the production engine: the per-call spectrum forwarding
-    (``kernel_spectrum_fused``, the generate_forwarded_kernels analog)
-    happened once in :func:`prepare_workspace`; each call here pays only
-    the one-time (Z, X, Y) transposes and the fused passes themselves."""
-    algo = prepared.algorithm
-    update_fn = _select_rl_update(elementwise)
-
-    views, weights = data.views, data.weights
-    if algo == "fused":
-        # same transposed-domain convention as `deconvolve` — one-time,
-        # outside the iteration scan (rl_view_step_fused docstring)
-        views = jnp.transpose(views, (0, 1, 3, 2))
-        if weights.ndim > 1:
-            weights = jnp.transpose(weights, (0, 1, 3, 2))
-        psi = jnp.transpose(psi, (0, 2, 1))
-        num_views = int(views.shape[0])
-
-        # carried pass-A chain, as in `deconvolve` sequential fused mode
-        from ..core import dft as _dft
-        from ..ops.pallas.fused_dft2 import (
-            fused_forward_transposed,
-            fused_rl_step_carried,
-            fused_rl_step_transposed,
-        )
-
-        _interp = jax.default_backend() == "cpu"
-        _prec = (
-            "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
-        )
-        carried = _carry_enabled(psi.shape)  # max-axis gate: transpose-safe
-
-        def sweep(carry, _):
-            # unrolled view loop with constant-index slices (see
-            # `deconvolve`: scan xs dynamic-slices materialize copies)
-            p, u = carry
-            for v in range(num_views):
-                view, k1v, k2v, w = jax.tree_util.tree_map(
-                    lambda a: a[v],
-                    (views, prepared.k1, prepared.k2, weights),
-                )
-                if carried:
-                    p, u = fused_rl_step_carried(
-                        p, u, view, w, k1v, k2v, lam, min_value,
-                        interpret=_interp, precision=_prec,
-                    )
-                else:
-                    p = fused_rl_step_transposed(
-                        p, view, w, k1v, k2v, lam, min_value,
-                        interpret=_interp, precision=_prec,
-                    )
-            return (p, u), None
-
-        init = (
-            psi,
-            fused_forward_transposed(psi, interpret=_interp, precision=_prec)
-            if carried
-            else None,
-        )
-        psi, _ = lax.scan(
-            sweep, init, None,
-            length=num_iterations, unroll=min(int(num_iterations), 8),
-        )
-        return jnp.transpose(psi[0], (0, 2, 1))
-    else:
-        step = rl_view_step if algo == "fft" else rl_view_step_dft
-
-        def view_body(p, xs):
-            view, k1v, k2v, w = xs
-            return step(p, view, k1v, k2v, w, lam, min_value, update_fn), None
-
-        def sweep(p, _):
-            p, _ = lax.scan(
-                view_body, p, (views, prepared.k1, prepared.k2, weights)
-            )
-            return p, None
-
-    psi, _ = lax.scan(sweep, psi, None, length=num_iterations, unroll=1)
-    return psi
+    ``lam``/``min_value`` remain TRACE-STATIC, exactly like
+    :func:`deconvolve_jit`: the Tikhonov branch and clamp ordering are
+    baked into the fused Mosaic pass epilogues as compile-time constants
+    (a data-dependent lam would put a scalar operand + select chain on
+    the inner VPU path of every block).  A λ sweep therefore recompiles
+    per value — mitigated by the persistent compile cache, and the
+    kernel spectra in ``prepared`` are reused across those compiles,
+    which is the expensive part the plan store exists to save
+    (/root/reference/inc/plan_store.h:25-235)."""
+    return _deconvolve_prepared(
+        psi,
+        data,
+        prepared,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        elementwise,
+        knobs=_knob_fingerprint(),
+    )
 
 
 def deconvolve_workspace(psi: jnp.ndarray, ws: Workspace, **kw) -> jnp.ndarray:

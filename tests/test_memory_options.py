@@ -183,3 +183,101 @@ def test_prepare_workspace_auto_matches_serving_engine(rng):
     )
     prepared = prepare_workspace(data, (16, 16, 16), algorithm="auto")
     assert prepared.algorithm == "dft"
+
+
+@pytest.mark.parametrize("algorithm", ["fft", "dft", "fused"])
+def test_prepared_simultaneous_view_order(rng, algorithm):
+    """Round-4 contract widening: deconvolve_prepared accepts view_order
+    like deconvolve_jit (it shares the whole driver), so a prepared
+    time-lapse pipeline can run the shardable simultaneous math too."""
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve_prepared,
+        prepare_workspace,
+    )
+
+    shape = (16, 16, 16) if algorithm == "fused" else (12, 12, 12)
+    V = 2
+    views, k1, k2 = _base(rng, V=V, shape=shape)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+    prepared = prepare_workspace(data, shape, algorithm=algorithm)
+    a = np.asarray(
+        deconvolve_prepared(
+            psi0.copy(), data, prepared, 2, 0.006,
+            view_order="simultaneous",
+        )
+    )
+    b = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), data, 2, lam=0.006, algorithm=algorithm,
+            view_order="simultaneous",
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_prepared_rejects_shape_mismatch(rng):
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve,
+        prepare_workspace,
+    )
+
+    shape = (12, 12, 12)
+    views, k1, k2 = _base(rng, V=2, shape=shape)
+    w = np.full((2,) + shape, 0.5, np.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+    prepared = prepare_workspace(data, shape, algorithm="fft")
+    with pytest.raises(ValueError, match="prepared spectra are for"):
+        deconvolve(
+            jnp.zeros((16, 16, 16), jnp.float32), data, 1, prepared=prepared
+        )
+
+
+def test_fused_knob_flip_retraces(rng, monkeypatch):
+    """Advisor (round 3): flipping a fused env knob mid-process must not
+    silently reuse the stale compiled program — the public jitted drivers
+    fingerprint the knob env into their static jit key."""
+    from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+
+    shape = (16, 16, 16)
+    V = 2
+    views, k1, k2 = _base(rng, V=V, shape=shape)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+
+    monkeypatch.setenv("LMVN_FUSED_TWFOLD", "1")
+    a = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 1, algorithm="fused")
+    )
+    n0 = deconvolve_jit._cache_size()
+    monkeypatch.setenv("LMVN_FUSED_TWFOLD", "0")
+    b = np.asarray(
+        deconvolve_jit(psi0.copy(), data, 1, algorithm="fused")
+    )
+    assert deconvolve_jit._cache_size() > n0  # retraced, not stale-cached
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_forced_carry_refused_over_vmem(monkeypatch):
+    """Advisor (round 3): LMVN_FUSED_CARRY=1 at 512-class under
+    precision='highest' compiles a known-over-VMEM CUA pass — the driver
+    must refuse loudly instead."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+    from libmultiviewnative_tpu.deconv.rl import _carry_enabled
+
+    monkeypatch.setenv("LMVN_FUSED_CARRY", "1")
+    set_matmul_precision("highest")
+    try:
+        with pytest.raises(ValueError, match="scoped-VMEM"):
+            _carry_enabled((512, 512, 512))
+        # small shapes and bf16_3x both stay allowed
+        assert _carry_enabled((256, 256, 256)) is True
+        set_matmul_precision("high")
+        assert _carry_enabled((512, 512, 512)) is True
+    finally:
+        set_matmul_precision("highest")
