@@ -42,6 +42,7 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-512", action="store_true")
+    ap.add_argument("--skip-256", action="store_true")
     ap.add_argument("--parts", default="ABCD")
     ap.add_argument("--combos", default=None,
                     help="comma list of spec,pre pairs, e.g. '00,10,01,11'")
@@ -147,11 +148,12 @@ def main():
 
     # ---- A. knob grid slopes
     if "A" in args.parts:
-        for spec, pre in combos:
-            set_knobs(spec, pre)
-            r = step_rate((256, 256, 256), False, 5)
-            log(f"256^3 4-view spec_bf16={spec} presplit={pre}: {r:.2f} it/s"
-                f"  (r3 twfold slope baseline: 132.2)")
+        if not args.skip_256:
+            for spec, pre in combos:
+                set_knobs(spec, pre)
+                r = step_rate((256, 256, 256), False, 5)
+                log(f"256^3 4-view spec_bf16={spec} presplit={pre}: "
+                    f"{r:.2f} it/s  (r3 twfold slope baseline: 132.2)")
         if not args.skip_512:
             for spec, pre in combos:
                 set_knobs(spec, pre)

@@ -108,3 +108,44 @@ def test_fused_kernel_beats_fft_at_512(tpu):
     t_fused = _time_rl("fused", **kw)
     t_fft = _time_rl("fft", **kw)
     assert t_fused < t_fft, (t_fused, t_fft)
+
+
+def _time_rl_env(monkeypatch, env: dict, **kw):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    # the public drivers fingerprint the fused knobs into their jit keys,
+    # so flipped envs retrace without any manual cache clearing
+    return _time_rl(**kw)
+
+
+@requires_gates
+def test_twfold_default_not_slower(tpu, monkeypatch):
+    """Round-3 default: twiddle folding ON (+11% slope at the 256^3
+    headline, docs/measure_r3.out part D).  A regression that flips the
+    default — or a change that makes folding lose — must fail here, not
+    ship silently (round-3 verdict, Weak #5)."""
+    kw = dict(shape=(256, 256, 256), V=2, iters=5, algorithm="fused")
+    t_on = _time_rl_env(monkeypatch, {"LMVN_FUSED_TWFOLD": "1"}, **kw)
+    t_off = _time_rl_env(monkeypatch, {"LMVN_FUSED_TWFOLD": "0"}, **kw)
+    # the slope win is ~11%; the full-call number dilutes it with prep,
+    # and tunnel noise is ~2% — gate at "not slower than off"
+    assert t_on < 1.05 * t_off, (t_on, t_off)
+
+
+@requires_gates
+def test_carried_default_not_slower_at_512(tpu, monkeypatch):
+    """Round-3 default: the carried 4-pass chain at 512-class under
+    bf16_3x (11.09-11.22 carried vs 10.81-10.87 plain it/s slopes).
+    Catch the default flipping or the carried chain regressing below
+    plain."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+
+    set_matmul_precision("high")  # the carried default is bf16_3x-gated
+    try:
+        kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True,
+                  algorithm="fused")
+        t_carried = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "1"}, **kw)
+        t_plain = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "0"}, **kw)
+        assert t_carried < 1.05 * t_plain, (t_carried, t_plain)
+    finally:
+        set_matmul_precision("highest")
