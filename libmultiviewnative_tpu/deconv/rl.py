@@ -131,6 +131,18 @@ def fused_eligible(spatial_shape) -> bool:
     )
 
 
+def _fold_enabled() -> bool:
+    """Trace-time knob (LMVN_FUSED_FOLDX=1): run the fused engine's x
+    stages in hermitian-fold mode (ops.pallas.fused_dft2 fold_x) — halved
+    x-matmul contraction at the cost of a serial VPU fold chain per
+    x stage.  Measured NEGATIVE at a standalone (256,256,512) convolve
+    (docs/PERFORMANCE.md fold_x tombstone); this knob exists to measure it
+    in the full RL chain at 512-class, where the A/C passes are
+    MXU-FLOP-bound (the x-stage dense matmuls are ~72%% of the A/C-pass
+    FLOPs) rather than bandwidth-bound.  Default 0."""
+    return os.environ.get("LMVN_FUSED_FOLDX", "0") == "1"
+
+
 def _carry_enabled(spatial) -> bool:
     """Shape-gated default for the carried pass-A chain (round-3 measured,
     docs/measure_r3.out): carrying Â(psi) across view steps trades one psi
@@ -203,7 +215,7 @@ def rl_view_step_fused(
     )
     return fused_rl_step_transposed(
         psi, view, weights, k1_split, k2_split, lam, min_value,
-        interpret=interp, precision=prec,
+        interpret=interp, precision=prec, fold_x=_fold_enabled(),
     )
 
 
@@ -416,6 +428,7 @@ def deconvolve(
                     p, u = fused_rl_step_carried(
                         p, u, view, w, k1v, k2v, lam, min_value,
                         interpret=_interp, precision=_prec,
+                        fold_x=_fold_enabled(),
                     )
                 return (p, u), None
 
@@ -481,7 +494,10 @@ def deconvolve(
     if carried:
         init = (
             psi,
-            fused_forward_transposed(psi, interpret=_interp, precision=_prec),
+            fused_forward_transposed(
+                psi, interpret=_interp, precision=_prec,
+                fold_x=_fold_enabled(),
+            ),
         )
         get_psi = lambda c: c[0]
     else:
@@ -512,6 +528,7 @@ _FUSED_KNOB_ENV = (
     "LMVN_FUSED_SLAB",
     "LMVN_FUSED_SPEC_BF16",
     "LMVN_FUSED_PRESPLIT",
+    "LMVN_FUSED_FOLDX",
 )
 
 

@@ -232,6 +232,28 @@ def main():
         log(f"256^3 full-call 10-iter: plain {iters/tp:.2f} it/s, "
             f"prepared {iters/tq:.2f} it/s  (slope ceiling r3: 132)")
 
+    # ---- E. fold_x in the FULL RL chain (round-4 hypothesis: the
+    #      x-stage dense matmuls are ~72% of the A/C-pass MXU FLOPs and
+    #      512^3 is FLOP-bound, so the fold's halved x contraction should
+    #      pay there even though it measured -5% on a standalone
+    #      bandwidth-bound convolve — docs/PERFORMANCE.md fold_x
+    #      tombstone).  Carried chain stays at its shape-gated default.
+    if "E" in args.parts:
+        for fold in ("0", "1"):
+            set_knobs("0", "0")
+            os.environ["LMVN_FUSED_FOLDX"] = fold
+            jax.clear_caches()
+            if not args.skip_256:
+                r = step_rate((256, 256, 256), False, 5)
+                log(f"256^3 4-view foldx={fold}: {r:.2f} it/s  "
+                    f"(r4 dense-x row: 118.31)")
+            if not args.skip_512:
+                r = step_rate((512, 512, 512), True, 3)
+                log(f"512^3 4-view foldx={fold}: {r:.2f} it/s  "
+                    f"(r4 dense-x row: 11.09; verdict target >= 12)")
+        os.environ["LMVN_FUSED_FOLDX"] = "0"
+        jax.clear_caches()
+
     # ---- D. 1x1-mesh fused sanity vs in-core
     if "D" in args.parts:
         from libmultiviewnative_tpu.parallel.sharded import (

@@ -263,6 +263,33 @@ def test_fused_knob_flip_retraces(rng, monkeypatch):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("carry", ["0", "1"], ids=["plain", "carried"])
+def test_fused_foldx_driver_matches_default(rng, monkeypatch, carry):
+    """LMVN_FUSED_FOLDX=1 (hermitian-fold x stages) through the PUBLIC
+    driver — both the plain 5-pass chain and the carried 4-pass chain —
+    must match the default dense-x program (the fold identities are exact;
+    kernel-level proofs live in tests/test_pallas_ops.py)."""
+    from libmultiviewnative_tpu.deconv.rl import deconvolve_jit
+
+    shape = (16, 16, 16)
+    V = 2
+    views, k1, k2 = _base(rng, V=V, shape=shape)
+    w = np.full((V,) + shape, 0.5, np.float32)
+    psi0 = jnp.full(shape, float(np.mean(views)), jnp.float32)
+    data = MultiViewData(jnp.asarray(views), jnp.asarray(k1),
+                         jnp.asarray(k2), jnp.asarray(w))
+
+    monkeypatch.setenv("LMVN_FUSED_CARRY", carry)
+    outs = {}
+    for fold in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_FOLDX", fold)
+        outs[fold] = np.asarray(
+            deconvolve_jit(psi0.copy(), data, 2, lam=0.006,
+                           algorithm="fused")
+        )
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-5, atol=2e-5)
+
+
 def test_forced_carry_refused_over_vmem(monkeypatch):
     """Advisor (round 3): LMVN_FUSED_CARRY=1 at 512-class under
     precision='highest' compiles a known-over-VMEM CUA pass — the driver
