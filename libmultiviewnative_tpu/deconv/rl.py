@@ -131,16 +131,26 @@ def fused_eligible(spatial_shape) -> bool:
     )
 
 
-def _fold_enabled() -> bool:
-    """Trace-time knob (LMVN_FUSED_FOLDX=1): run the fused engine's x
-    stages in hermitian-fold mode (ops.pallas.fused_dft2 fold_x) — halved
-    x-matmul contraction at the cost of a serial VPU fold chain per
-    x stage.  Measured NEGATIVE at a standalone (256,256,512) convolve
-    (docs/PERFORMANCE.md fold_x tombstone); this knob exists to measure it
-    in the full RL chain at 512-class, where the A/C passes are
-    MXU-FLOP-bound (the x-stage dense matmuls are ~72%% of the A/C-pass
-    FLOPs) rather than bandwidth-bound.  Default 0."""
-    return os.environ.get("LMVN_FUSED_FOLDX", "0") == "1"
+def _fold_enabled(spatial) -> bool:
+    """Shape-gated default for the hermitian-fold x stages (round-4
+    measured, docs/measure_r4.out part E): the fold halves the x-stage
+    matmul contraction — a LOSS on bandwidth-bound shapes (the round-3
+    standalone-convolve tombstone: 4.97 vs 4.72 ms at (256,256,512)) but
+    a WIN where the RL chain is MXU-FLOP-bound, exactly as the round-4
+    FLOP accounting predicts (docs/PERFORMANCE.md): **12.12 fold vs
+    11.53 dense it/s at 512^3** under bf16_3x, same session.  Default:
+    fold at max axis >= 384 under bf16_3x matmuls (the measured config;
+    the same gate class as :func:`_carry_enabled`), dense-x below and at
+    'highest' precision (unmeasured there).  LMVN_FUSED_FOLDX=0/1 forces
+    either (trace-time read, fingerprinted into the public drivers' jit
+    keys)."""
+    mode = os.environ.get("LMVN_FUSED_FOLDX", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    from ..core import dft as _dft
+
+    bf16_3x = _dft._PREC == jax.lax.Precision.HIGH
+    return bf16_3x and max(int(d) for d in spatial) >= 384
 
 
 def _carry_enabled(spatial) -> bool:
@@ -215,7 +225,8 @@ def rl_view_step_fused(
     )
     return fused_rl_step_transposed(
         psi, view, weights, k1_split, k2_split, lam, min_value,
-        interpret=interp, precision=prec, fold_x=_fold_enabled(),
+        interpret=interp, precision=prec,
+        fold_x=_fold_enabled(psi.shape[-3:]),
     )
 
 
@@ -428,7 +439,7 @@ def deconvolve(
                     p, u = fused_rl_step_carried(
                         p, u, view, w, k1v, k2v, lam, min_value,
                         interpret=_interp, precision=_prec,
-                        fold_x=_fold_enabled(),
+                        fold_x=_fold_enabled(spatial),
                     )
                 return (p, u), None
 
@@ -496,7 +507,7 @@ def deconvolve(
             psi,
             fused_forward_transposed(
                 psi, interpret=_interp, precision=_prec,
-                fold_x=_fold_enabled(),
+                fold_x=_fold_enabled(spatial),
             ),
         )
         get_psi = lambda c: c[0]

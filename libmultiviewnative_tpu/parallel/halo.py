@@ -161,6 +161,7 @@ def convolve_zblock_fused(
     axis_name: str,
     interpret: bool = False,
     precision: str = "highest",
+    fold_x: bool = False,
 ) -> jnp.ndarray:
     """Overlap-save circular convolution of a z-sharded volume with the
     fully-fused Mosaic engine.
@@ -190,5 +191,6 @@ def convolve_zblock_fused(
         kernel_fused_ext[1],
         interpret=interpret,
         precision=precision,
+        fold_x=fold_x,
     )
     return lax.slice_in_dim(out, lo, lo + bz, axis=out.ndim - 3)

@@ -117,6 +117,7 @@ def _local_view_sweep(
 def _local_view_sweep_fused(
     psi_t, views_t, k1, k2, weights, lam, min_value, lo1, hi1, lo2, hi2,
     full_volume: bool, interpret: bool, precision: str, update_fn=rl_update,
+    fold_x: bool = False,
 ):
     """One simultaneous RL sweep with the fused Mosaic engine on TRANSPOSED
     (Bz, X, Y) blocks.
@@ -146,15 +147,15 @@ def _local_view_sweep_fused(
         if full_volume:
             new = fused_rl_step_transposed(
                 psi_t, view_t, w, k1v, k2v, lam, min_value,
-                interpret=interpret, precision=precision,
+                interpret=interpret, precision=precision, fold_x=fold_x,
             )
         else:
             blurred = convolve_zblock_fused(
-                psi_t, k1v, lo1, hi1, "z", interpret, precision
+                psi_t, k1v, lo1, hi1, "z", interpret, precision, fold_x
             )
             quot = view_t * (1.0 / blurred)
             integral = convolve_zblock_fused(
-                quot, k2v, lo2, hi2, "z", interpret, precision
+                quot, k2v, lo2, hi2, "z", interpret, precision, fold_x
             )
             new = update_fn(psi_t, integral, w, lam, min_value)
         delta = delta + (new - psi_t)
@@ -235,12 +236,18 @@ def deconvolve_sharded(
 
     if algo == "fused":
         from ..core import dft as _dft
+        from ..deconv.rl import _fold_enabled
 
         _interp = jax.default_backend() == "cpu"
         _prec = (
             "bf16_3x" if _dft._PREC == jax.lax.Precision.HIGH else "highest"
         )
         full_volume = zsize == 1
+        # hermitian-fold x stages: same shape-gated default as the in-core
+        # driver, applied to the LOCAL compute extent (the halo-extended
+        # convolve extent when z-blocked) — one engine policy serves every
+        # strategy
+        _fold = _fold_enabled((ext_max,))
 
     def step(psi_local, views, k1, k2, w):
         # forward every kernel ONCE, outside the iteration scan
@@ -283,6 +290,7 @@ def deconvolve_sharded(
                 p = _local_view_sweep_fused(
                     p, views, k1h, k2h, w, lam, min_value, lo1, hi1, lo2,
                     hi2, full_volume, _interp, _prec, update_fn,
+                    fold_x=_fold,
                 )
             else:
                 p = _local_view_sweep(
@@ -291,7 +299,16 @@ def deconvolve_sharded(
                 )
             return p, None
 
-        out, _ = lax.scan(sweep, psi_local, None, length=num_iterations)
+        # engine-aware unroll, same policy as the in-core driver: the
+        # iteration scan is a scheduling barrier (~3.3 ms/iter measured at
+        # 256^3) that XLA cannot overlap across for the fused engine's
+        # custom-call chain; fft/dft looped bodies optimize better rolled.
+        # Found via measure_r4 part D: the 1x1-mesh fused run trailed the
+        # in-core driver by ~18% — almost exactly the barrier cost.
+        unroll = min(int(num_iterations), 8) if algo == "fused" else 1
+        out, _ = lax.scan(
+            sweep, psi_local, None, length=num_iterations, unroll=unroll
+        )
         return out
 
     views, weights = data.views, data.weights

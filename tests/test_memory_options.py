@@ -290,6 +290,29 @@ def test_fused_foldx_driver_matches_default(rng, monkeypatch, carry):
     np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-5, atol=2e-5)
 
 
+def test_foldx_auto_gate(monkeypatch):
+    """Round-4 default: hermitian-fold x stages at max axis >= 384 under
+    bf16_3x (12.12 vs 11.53 it/s at 512^3, docs/measure_r4.out part E),
+    dense-x below and at 'highest'; LMVN_FUSED_FOLDX=0/1 forces either."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+    from libmultiviewnative_tpu.deconv.rl import _fold_enabled
+
+    monkeypatch.delenv("LMVN_FUSED_FOLDX", raising=False)
+    try:
+        set_matmul_precision("high")
+        assert _fold_enabled((512, 512, 512)) is True
+        assert _fold_enabled((256, 256, 256)) is False
+        set_matmul_precision("highest")
+        assert _fold_enabled((512, 512, 512)) is False
+        monkeypatch.setenv("LMVN_FUSED_FOLDX", "1")
+        assert _fold_enabled((16, 16, 16)) is True
+        monkeypatch.setenv("LMVN_FUSED_FOLDX", "0")
+        set_matmul_precision("high")
+        assert _fold_enabled((512, 512, 512)) is False
+    finally:
+        set_matmul_precision("highest")
+
+
 def test_forced_carry_refused_over_vmem(monkeypatch):
     """Advisor (round 3): LMVN_FUSED_CARRY=1 at 512-class under
     precision='highest' compiles a known-over-VMEM CUA pass — the driver

@@ -133,6 +133,26 @@ def test_twfold_default_not_slower(tpu, monkeypatch):
 
 
 @requires_gates
+def test_foldx_default_not_slower_at_512(tpu, monkeypatch):
+    """Round-4 default: hermitian-fold x stages at 512-class under
+    bf16_3x (12.12 fold vs 11.53 dense it/s slopes, docs/measure_r4.out
+    part E — the FLOP-bound-regime win the round-4 FLOP accounting
+    predicted).  Catch the default flipping or the fold regressing below
+    dense-x."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+
+    set_matmul_precision("high")  # the fold default is bf16_3x-gated
+    try:
+        kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True,
+                  algorithm="fused")
+        t_fold = _time_rl_env(monkeypatch, {"LMVN_FUSED_FOLDX": "1"}, **kw)
+        t_dense = _time_rl_env(monkeypatch, {"LMVN_FUSED_FOLDX": "0"}, **kw)
+        assert t_fold < 1.05 * t_dense, (t_fold, t_dense)
+    finally:
+        set_matmul_precision("highest")
+
+
+@requires_gates
 def test_carried_default_not_slower_at_512(tpu, monkeypatch):
     """Round-3 default: the carried 4-pass chain at 512-class under
     bf16_3x (11.09-11.22 carried vs 10.81-10.87 plain it/s slopes).

@@ -251,6 +251,18 @@ def test_sharded_fused_misaligned_y():
     _run_sharded_vs_single(data, shape, vp=2, zp=4, iters=1)
 
 
+@pytest.mark.parametrize("zp", [1, 4], ids=["view-only", "zblock"])
+def test_sharded_fused_foldx_matches_single_device(monkeypatch, zp):
+    """LMVN_FUSED_FOLDX=1 threads the hermitian-fold x stages through
+    BOTH mesh strategies (full-volume fused step and overlap-save z-block
+    convolves) — one engine policy serves every strategy (round-4: fold
+    is the 512-class default, measure_r4.out part E)."""
+    monkeypatch.setenv("LMVN_FUSED_FOLDX", "1")
+    shape = (16, 16, 16)
+    data = _fused_problem(2 if zp > 1 else 4, shape)
+    _run_sharded_vs_single(data, shape, vp=2 if zp > 1 else 4, zp=zp)
+
+
 def test_sharded_fused_rejects_ineligible_geometry():
     """Odd X violates the Mosaic layout constraints — an explicit fused
     request must raise, not silently demote (dispatch demotes loudly)."""
