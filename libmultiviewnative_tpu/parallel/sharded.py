@@ -374,10 +374,28 @@ def shard_workspace(
 @partial(
     jax.jit,
     static_argnames=(
-        "num_iterations", "mesh", "lam", "min_value", "algorithm", "elementwise",
+        "num_iterations", "mesh", "lam", "min_value", "algorithm",
+        "elementwise", "knobs",
     ),
     donate_argnums=(0,),
 )
+def _deconvolve_sharded_jit(
+    psi,
+    data,
+    num_iterations: int,
+    mesh: Mesh,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    algorithm: str = "fft",
+    elementwise: str = "jnp",
+    knobs: tuple = None,
+):
+    del knobs  # jit cache key only (see deconv.rl._knob_fingerprint)
+    return deconvolve_sharded(
+        psi, data, num_iterations, mesh, lam, min_value, algorithm, elementwise
+    )
+
+
 def deconvolve_sharded_jit(
     psi,
     data,
@@ -388,6 +406,14 @@ def deconvolve_sharded_jit(
     algorithm: str = "fft",
     elementwise: str = "jnp",
 ):
-    return deconvolve_sharded(
-        psi, data, num_iterations, mesh, lam, min_value, algorithm, elementwise
+    """Jitted :func:`deconvolve_sharded` (psi donated).  The fused-engine
+    env knobs — which now include the mesh-relevant fold default — are
+    fingerprinted into the jit key at call time, exactly like the in-core
+    public drivers (advisor, round 3): flipping a knob mid-process
+    retraces instead of silently reusing the stale program."""
+    from ..deconv.rl import _knob_fingerprint
+
+    return _deconvolve_sharded_jit(
+        psi, data, num_iterations, mesh, lam, min_value, algorithm,
+        elementwise, knobs=_knob_fingerprint(),
     )

@@ -263,6 +263,37 @@ def test_sharded_fused_foldx_matches_single_device(monkeypatch, zp):
     _run_sharded_vs_single(data, shape, vp=2 if zp > 1 else 4, zp=zp)
 
 
+def test_sharded_jit_knob_flip_retraces(monkeypatch):
+    """The sharded jitted driver must key its jit cache on the fused env
+    knobs (which now include the mesh-relevant fold default) — same
+    contract as the in-core drivers (advisor, round 3)."""
+    from libmultiviewnative_tpu.parallel.sharded import (
+        _deconvolve_sharded_jit,
+        deconvolve_sharded_jit,
+    )
+
+    shape = (16, 16, 16)
+    data = _fused_problem(2, shape)
+    psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
+    mesh = make_mesh(
+        view_parallel=2, z_parallel=1,
+        devices=np.asarray(jax.devices()[:2]),
+    )
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+
+    monkeypatch.setenv("LMVN_FUSED_FOLDX", "0")
+    a = np.asarray(
+        deconvolve_sharded_jit(psi_s + 0, data_s, 1, mesh, algorithm="fused")
+    )
+    n0 = _deconvolve_sharded_jit._cache_size()
+    monkeypatch.setenv("LMVN_FUSED_FOLDX", "1")
+    b = np.asarray(
+        deconvolve_sharded_jit(psi_s + 0, data_s, 1, mesh, algorithm="fused")
+    )
+    assert _deconvolve_sharded_jit._cache_size() > n0
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_sharded_fused_rejects_ineligible_geometry():
     """Odd X violates the Mosaic layout constraints — an explicit fused
     request must raise, not silently demote (dispatch demotes loudly)."""
