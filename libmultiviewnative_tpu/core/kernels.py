@@ -77,8 +77,9 @@ def regularized_final_values(
     tolerances and keeps the TPU on the fast path.
     """
     value = psi * integral
-    lam_inv = jnp.float32(1.0) / jnp.float32(lam)
-    tik = lam_inv * (jnp.sqrt(1.0 + 2.0 * jnp.float32(lam) * value) - 1.0)
+    lam32 = jnp.asarray(lam, jnp.float32)  # float OR traced scalar
+    lam_inv = jnp.float32(1.0) / lam32
+    tik = lam_inv * (jnp.sqrt(1.0 + 2.0 * lam32 * value) - 1.0)
     value = jnp.where(value > 0.0, tik, min_value)
     nxt = jnp.where(
         jnp.isnan(value) | jnp.isinf(value),
@@ -92,15 +93,35 @@ def rl_update(
     psi: jnp.ndarray,
     integral: jnp.ndarray,
     weights: jnp.ndarray,
-    lam: float,
-    min_value: float,
+    lam,
+    min_value,
 ) -> jnp.ndarray:
-    """Dispatch between plain and Tikhonov updates on the *static* lambda.
+    """Dispatch between plain and Tikhonov updates on lambda.
 
     Parity: the branch at /root/reference/src/multiviewnative.cpp:216-227.
-    ``lam`` is a Python float resolved at trace time, so each variant
-    compiles to a branch-free XLA program.
+    When ``lam`` is a Python float it is resolved at trace time and each
+    variant compiles to a branch-free XLA program (the historical
+    contract).  When ``lam`` is a TRACED scalar (the fft/dft/direct
+    drivers thread it as a runtime operand so a λ sweep reuses one
+    compiled program — the reference keeps λ in the runtime workspace
+    struct, /root/reference/inc/multiviewnative.h:28-35), both branches
+    are computed and selected elementwise: the selected values are
+    IDENTICAL to the static-λ program's (``jnp.where`` picks exact branch
+    values; the unselected Tikhonov branch runs with a safe λ=1 so no
+    NaN/Inf leaks through the select), and the extra VPU work is one
+    sqrt-chain fused into an already bandwidth-bound elementwise pass.
     """
-    if lam > 0.0:
-        return regularized_final_values(psi, integral, weights, lam, min_value)
-    return final_values(psi, integral, weights, min_value)
+    if isinstance(lam, (int, float)):
+        if lam > 0.0:
+            return regularized_final_values(
+                psi, integral, weights, lam, min_value
+            )
+        return final_values(psi, integral, weights, min_value)
+    lam = jnp.asarray(lam, jnp.float32)
+    use_tik = lam > 0.0
+    safe_lam = jnp.where(use_tik, lam, jnp.float32(1.0))
+    reg = regularized_final_values(
+        psi, integral, weights, safe_lam, min_value
+    )
+    plain = final_values(psi, integral, weights, min_value)
+    return jnp.where(use_tik, reg, plain)

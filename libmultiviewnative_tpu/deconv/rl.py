@@ -540,17 +540,26 @@ _FUSED_KNOB_ENV = (
     "LMVN_FUSED_SPEC_BF16",
     "LMVN_FUSED_PRESPLIT",
     "LMVN_FUSED_FOLDX",
+    "LMVN_FUSED_SPLITX",
 )
 
 
 def _knob_fingerprint() -> tuple:
-    """Values of every trace-time fused-engine env knob.  The public
-    jitted drivers pass this as a STATIC argument so the jit cache keys
-    on the knob state: flipping a knob mid-process retraces instead of
-    silently reusing the stale compiled program (advisor, round 3).  Deep
-    code still reads the env at trace time — consistent, because the
-    trace happens under the same env the fingerprint captured."""
-    return tuple(os.environ.get(k) for k in _FUSED_KNOB_ENV)
+    """Values of every trace-time fused-engine env knob PLUS the effective
+    matmul precision.  The public jitted drivers pass this as a STATIC
+    argument so the jit cache keys on the knob state: flipping a knob —
+    or calling :func:`core.dft.set_matmul_precision` — mid-process
+    retraces instead of silently reusing the stale compiled program
+    (advisor, rounds 3/4: the fold/carried defaults and the DFT stage
+    matmuls are all precision-dependent trace-time decisions).  Deep
+    code still reads the env/module state at trace time — consistent,
+    because the trace happens under the same state the fingerprint
+    captured."""
+    from ..core import dft as _dft
+
+    return tuple(os.environ.get(k) for k in _FUSED_KNOB_ENV) + (
+        str(_dft._PREC),
+    )
 
 
 @partial(
@@ -607,7 +616,26 @@ def deconvolve_jit(
     """Jitted :func:`deconvolve`; psi is donated (the in-place semantics of
     the C ABI's mutate-psi contract, inc/multiviewnative.h:43-55).  The
     fused-engine env knobs are fingerprinted into the jit key at CALL
-    time, so flipping e.g. LMVN_FUSED_TWFOLD mid-process retraces."""
+    time, so flipping e.g. LMVN_FUSED_TWFOLD mid-process retraces.
+
+    λ/min_value are RUNTIME OPERANDS on the fft/dft/direct engines (a λ
+    sweep compiles once per shape); on the fused Mosaic engine they stay
+    trace-static — the pass epilogues bake them in as compile-time
+    constants (a data-dependent λ would put a scalar operand + select
+    chain on the inner VPU path of every block)."""
+    spatial = tuple(int(s) for s in psi.shape[-3:])
+    if _traced_lam_ok(spatial, algorithm, psi.ndim, elementwise):
+        return _deconvolve_jit_traced(
+            psi,
+            data,
+            jnp.float32(lam),
+            jnp.float32(min_value),
+            num_iterations,
+            view_order,
+            algorithm,
+            adjoint_kernel2,
+            knobs=_knob_fingerprint(),
+        )
     return _deconvolve_jit(
         psi,
         data,
@@ -622,7 +650,76 @@ def deconvolve_jit(
     )
 
 
-deconvolve_jit._cache_size = _deconvolve_jit._cache_size
+def _deconvolve_jit_cache_size():
+    return _deconvolve_jit._cache_size() + _deconvolve_jit_traced._cache_size()
+
+
+deconvolve_jit._cache_size = _deconvolve_jit_cache_size
+
+
+def _serves_fused(spatial, algorithm: str, ndim: int) -> bool:
+    """Whether a (possibly 'auto') algorithm request resolves to the fused
+    Mosaic engine for this shape — mirrors :func:`deconvolve`'s own
+    resolution.  The fused pass epilogues bake λ/min_value in as Mosaic
+    compile-time constants, so only that engine needs them trace-static."""
+    if algorithm == "fused":
+        return True
+    if algorithm != "auto":
+        return False
+    if max(spatial) < 256:
+        return False
+    return ndim == 3 and fused_eligible(spatial)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations",
+        "view_order",
+        "algorithm",
+        "adjoint_kernel2",
+        "knobs",
+    ),
+    donate_argnums=(0,),
+)
+def _deconvolve_jit_traced(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    lam: jnp.ndarray,
+    min_value: jnp.ndarray,
+    num_iterations: int,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
+    knobs: tuple = None,
+) -> jnp.ndarray:
+    """The fft/dft/direct-engine driver with λ/min_value as TRACED scalar
+    operands: a λ sweep (the regularization-tuning loop) reuses ONE
+    compiled program per shape, exactly as the reference's plan store
+    never re-plans when λ changes (λ lives in the runtime workspace
+    struct, /root/reference/inc/multiviewnative.h:28-35;
+    /root/reference/inc/plan_store.h:25-235)."""
+    del knobs  # jit cache key only (see _knob_fingerprint)
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
+        "jnp",
+    )
+
+
+def _traced_lam_ok(spatial, algorithm, ndim, elementwise) -> bool:
+    """Traced λ/min_value serve every engine except the fused Mosaic one
+    (compile-time epilogue constants) and the opt-in Pallas elementwise
+    kernel (same reason)."""
+    return elementwise == "jnp" and not _serves_fused(
+        spatial, algorithm, ndim
+    )
 
 
 @partial(
@@ -778,6 +875,33 @@ def _deconvolve_prepared(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_iterations", "view_order", "knobs"),
+    donate_argnums=(0,),
+)
+def _deconvolve_prepared_traced(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    prepared: PreparedSpectra,
+    lam: jnp.ndarray,
+    min_value: jnp.ndarray,
+    num_iterations: int,
+    view_order: str = "sequential",
+    knobs: tuple = None,
+) -> jnp.ndarray:
+    del knobs  # jit cache key only (see _knob_fingerprint)
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        prepared=prepared,
+    )
+
+
 def deconvolve_prepared(
     psi: jnp.ndarray,
     data: MultiViewData,
@@ -795,15 +919,29 @@ def deconvolve_prepared(
     prepare-time options (``algorithm``/``adjoint_kernel2`` were fixed by
     :func:`prepare_workspace`).  psi is donated.
 
-    ``lam``/``min_value`` remain TRACE-STATIC, exactly like
-    :func:`deconvolve_jit`: the Tikhonov branch and clamp ordering are
-    baked into the fused Mosaic pass epilogues as compile-time constants
-    (a data-dependent lam would put a scalar operand + select chain on
-    the inner VPU path of every block).  A λ sweep therefore recompiles
-    per value — mitigated by the persistent compile cache, and the
-    kernel spectra in ``prepared`` are reused across those compiles,
-    which is the expensive part the plan store exists to save
-    (/root/reference/inc/plan_store.h:25-235)."""
+    On the fft/dft engines ``lam``/``min_value`` are RUNTIME OPERANDS: a
+    λ sweep — the prepared path's core use case — compiles ONCE per
+    shape, like the reference's plan store which never re-plans when λ
+    changes (λ lives in the runtime workspace struct,
+    /root/reference/inc/multiviewnative.h:28-35;
+    /root/reference/inc/plan_store.h:25-235).  Only the fused Mosaic
+    engine keeps them TRACE-STATIC: its pass epilogues bake the Tikhonov
+    branch and clamp constants into the kernel (a data-dependent λ would
+    put a scalar operand + select chain on the inner VPU path of every
+    block); there the per-λ recompile is mitigated by the persistent
+    compile cache, and the spectra in ``prepared`` are reused across
+    compiles."""
+    if elementwise == "jnp" and prepared.algorithm != "fused":
+        return _deconvolve_prepared_traced(
+            psi,
+            data,
+            prepared,
+            jnp.float32(lam),
+            jnp.float32(min_value),
+            num_iterations,
+            view_order,
+            knobs=_knob_fingerprint(),
+        )
     return _deconvolve_prepared(
         psi,
         data,
@@ -815,6 +953,16 @@ def deconvolve_prepared(
         elementwise,
         knobs=_knob_fingerprint(),
     )
+
+
+def _deconvolve_prepared_cache_size():
+    return (
+        _deconvolve_prepared._cache_size()
+        + _deconvolve_prepared_traced._cache_size()
+    )
+
+
+deconvolve_prepared._cache_size = _deconvolve_prepared_cache_size
 
 
 def deconvolve_workspace(psi: jnp.ndarray, ws: Workspace, **kw) -> jnp.ndarray:
