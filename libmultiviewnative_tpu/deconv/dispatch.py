@@ -142,7 +142,11 @@ def deconvolve_auto(
         spatial kernels) receive a materialized flip(kernel1) in place of
         data.kernel2 — equivalent to the in-core conjugate-spectrum path
         (odd kernel dims enforced, matching the in-core guard).
-      * view_order divergences are LOUD: the sharded rung is inherently
+      * view_order: a too-big SEQUENTIAL request first tries a z-only
+        mesh, where the reference's exact view loop runs over z-sharded
+        overlap-save convolves — parity math at scale, no divergence
+        (round-5).  Only when Z has no legal z-only factorization do the
+        loud divergences apply: the view-sharded mesh rung is inherently
         simultaneous, the streamed rung inherently sequential.  A request
         the selected rung cannot honor raises ``ValueError`` when
         ``strict=True``, else emits a :class:`DispatchDivergenceWarning`
@@ -215,6 +219,50 @@ def deconvolve_auto(
             kernel1=data.kernel1,
             kernel2=jnp.flip(data.kernel1, axis=(-3, -2, -1)),
             weights=data.weights,
+        )
+
+    if n_dev > 1 and view_order == "sequential" and est < cap * n_dev:
+        # Reference-parity math at scale (round-5): a too-big SEQUENTIAL
+        # request routes to a z-only mesh FIRST — the exact reference view
+        # loop (/root/reference/src/multiviewnative.cpp:191-228) over
+        # z-sharded overlap-save convolves, no divergence, no warning.
+        # Only when no z-only factorization exists does the request fall
+        # through to the simultaneous mesh (loud divergence) or the
+        # sequential streaming rungs.
+        from ..core.shapes import halo_widths
+
+        (lo1, _, _), (hi1, _, _) = halo_widths(data.kernel1.shape[-3:])
+        (lo2, _, _), (hi2, _, _) = halo_widths(data.kernel2.shape[-3:])
+        halo = max(lo1, hi1, lo2, hi2)
+        mesh = _pick_zonly_mesh(
+            data.spatial_shape[0], n_dev, halo, est, cap
+        )
+        if mesh is not None:
+            from ..parallel.sharded import (
+                deconvolve_sharded_jit,
+                shard_workspace,
+                sharded_fused_eligible,
+            )
+
+            trace_print(
+                f"dispatch: sequential parity on z-only mesh "
+                f"{dict(mesh.shape)} (est {est>>20} MiB over "
+                f"{mesh.shape['z']} devices)"
+            )
+            supported = ("fft", "dft", "auto") + (
+                ("fused",)
+                if sharded_fused_eligible(data.spatial_shape, mesh)
+                else ()
+            )
+            psi_s, data_s = shard_workspace(data, psi, mesh)
+            return deconvolve_sharded_jit(
+                psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
+                lam=lam, min_value=min_value,
+                algorithm=demote("z-only mesh-sharded", supported),
+                elementwise=elementwise, view_order="sequential",
+            )
+        trace_print(
+            "dispatch: no z-only factorization for the sequential request"
         )
 
     if n_dev > 1 and est < cap * n_dev:
@@ -312,6 +360,24 @@ def deconvolve_auto(
         algorithm=demote("streamed", ("fft", "dft", "direct", "auto")),
         elementwise=elementwise,
     )
+
+
+def _pick_zonly_mesh(Z: int, n_dev: int, halo: int, est: int, cap: int):
+    """Largest z-only ('view'=1) mesh that divides Z, respects the PSF
+    halo (Bz >= halo, the overlap-save legality bound), and gives the
+    estimated working set enough aggregate capacity; None if none does."""
+    from ..parallel.sharded import make_mesh
+
+    for zp in range(n_dev, 1, -1):
+        if Z % zp or (Z // zp) < max(halo, 1):
+            continue
+        if est >= cap * zp:
+            continue
+        return make_mesh(
+            view_parallel=1, z_parallel=zp,
+            devices=np.asarray(jax.devices()[:zp]),
+        )
+    return None
 
 
 def _pick_mesh(V: int, Z: int, n_dev: int):

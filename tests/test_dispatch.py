@@ -119,8 +119,12 @@ def test_streamed_rung_honors_algorithm_and_elementwise(rng, monkeypatch):
     assert rms(got_p, want_fft) < 1e-5
 
 
-def test_auto_sharded_rung_matches(rng, monkeypatch):
-    # force the sharded rung: capacity tiny but fleet big enough
+def test_auto_sequential_routes_to_zonly_mesh(rng, monkeypatch):
+    """Round-5: a too-big SEQUENTIAL request must scale on a z-only mesh
+    with the reference's exact view loop — NO divergence warning — and
+    match the single-device sequential (parity) result."""
+    import warnings
+
     import libmultiviewnative_tpu.deconv.dispatch as dd
 
     data = _data(rng)
@@ -128,6 +132,30 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
     monkeypatch.setattr(
         dd, "device_capacity_bytes", lambda device=None: int(est / 4)
     )
+    psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", dd.DispatchDivergenceWarning)
+        got = np.asarray(deconvolve_auto(psi0.copy(), data, 2, lam=0.006))
+    want = np.asarray(
+        deconvolve_jit(
+            psi0.copy(), data, 2, lam=0.006, view_order="sequential"
+        )
+    )
+    assert rms(got, want) < 1e-5
+
+
+def test_auto_sharded_rung_matches(rng, monkeypatch):
+    # force the view-sharded rung: capacity tiny but fleet big enough;
+    # the z-only parity route is disabled to model a volume with no legal
+    # z-only factorization
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    data = _data(rng)
+    est = estimate_workspace_bytes(data)
+    monkeypatch.setattr(
+        dd, "device_capacity_bytes", lambda device=None: int(est / 4)
+    )
+    monkeypatch.setattr(dd, "_pick_zonly_mesh", lambda *a, **k: None)
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     # a sequential request served by the (simultaneous) sharded rung must
     # warn LOUDLY — not just under LMVN_TRACE
@@ -144,7 +172,8 @@ def test_auto_sharded_rung_matches(rng, monkeypatch):
 
 def test_sharded_rung_honors_algorithm(rng, monkeypatch):
     """algorithm='dft' forwarded to the sharded rung (regression: it was
-    silently dropped to 'fft' pre round 2)."""
+    silently dropped to 'fft' pre round 2).  The round-5 z-only parity
+    route is disabled so the request lands on the VIEW-sharded rung."""
     import libmultiviewnative_tpu.deconv.dispatch as dd
 
     data = _data(rng)
@@ -152,6 +181,7 @@ def test_sharded_rung_honors_algorithm(rng, monkeypatch):
     monkeypatch.setattr(
         dd, "device_capacity_bytes", lambda device=None: int(est / 4)
     )
+    monkeypatch.setattr(dd, "_pick_zonly_mesh", lambda *a, **k: None)
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     with pytest.warns(dd.DispatchDivergenceWarning):
         got = np.asarray(
@@ -182,6 +212,9 @@ def test_strict_mode_raises_on_divergence(rng, monkeypatch):
     monkeypatch.setattr(
         dd, "device_capacity_bytes", lambda device=None: int(est / 4)
     )
+    # no z-only factorization: the sequential request can only be served
+    # by the simultaneous view-sharded mesh -> strict divergence
+    monkeypatch.setattr(dd, "_pick_zonly_mesh", lambda *a, **k: None)
     psi0 = jnp.full((16, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     with pytest.raises(ValueError, match="SIMULTANEOUS"):
         deconvolve_auto(psi0.copy(), data, 2, strict=True)
@@ -226,9 +259,12 @@ def test_auto_streamed_honors_adjoint_kernel2(rng, monkeypatch):
 
 def test_auto_mesh_factorization_falls_back_to_stream(rng, monkeypatch):
     """Regression: V=2 views, Z=15 (odd) on an 8-device fleet has no valid
-    ('view','z') factorization — dispatch must stream, not crash."""
+    ('view','z') factorization — dispatch must stream, not crash.  (The
+    round-5 z-only parity route is disabled here: Z=15 DOES have a 1x5
+    z-only factorization, which is covered by its own test above.)"""
     import libmultiviewnative_tpu.deconv.dispatch as dd
 
+    monkeypatch.setattr(dd, "_pick_zonly_mesh", lambda *a, **k: None)
     data = _data(rng, V=2, shape=(15, 8, 8))
     psi0 = jnp.full((15, 8, 8), float(jnp.mean(data.views)), jnp.float32)
     est = dd.estimate_workspace_bytes(data)
@@ -410,6 +446,10 @@ def test_sequential_to_sharded_runs_weight_audit(rng, monkeypatch):
         "libmultiviewnative_tpu.deconv.dispatch.device_capacity_bytes",
         lambda device=None: int(est_ic / 2),
     )
+    import libmultiviewnative_tpu.deconv.dispatch as dd
+
+    # disable the z-only parity route: this test pins the DIVERGENCE path
+    monkeypatch.setattr(dd, "_pick_zonly_mesh", lambda *a, **k: None)
     with pytest.warns(WeightNormalizationWarning):
         with pytest.warns(DispatchDivergenceWarning):
             deconvolve_auto(
