@@ -155,6 +155,10 @@ class FusedPlan(NamedTuple):
     # SplitSpec.wf2); None in fold mode (presplit skips the fold path)
     fxp2: np.ndarray = None
     bxp2: np.ndarray = None
+    # hermitian DIF-split x mode (LMVN_FUSED_SPLITX, round 5): fxp/bxp
+    # hold the packed per-block matrices instead (see _make_splitx);
+    # replaces fold on its shapes — one x mode per plan
+    splitx: bool = False
 
     @property
     def kx(self) -> int:
@@ -187,6 +191,112 @@ def _np_split_bf16(a: np.ndarray) -> np.ndarray:
 
 def _presplit_triple(trip):
     return tuple(_np_split_bf16(m) for m in trip)
+
+
+def _splitx_wanted() -> bool:
+    """Trace-time knob (LMVN_FUSED_SPLITX): hermitian DIF-split x stages.
+
+    Default 'auto': ON under bf16_3x matmuls (the measured config —
+    round-5 A/B on v5e: **15.95 vs 12.52 it/s** at the 4-view 512^3
+    north star, a 27% slope win over the round-4 fold default,
+    docs/measure_r5.out), OFF at 'highest' precision (unmeasured there,
+    same convention as the fold/carried gates).  0/1 forces either.
+    Shape eligibility is separate (_splitx_eligible)."""
+    import os as _os
+
+    mode = _os.environ.get("LMVN_FUSED_SPLITX", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    from ...core import dft as _dft
+
+    return _dft._PREC == jax.lax.Precision.HIGH
+
+
+def _splitx_eligible(x: int) -> bool:
+    """Split-x factors X = 4*M DIF-style with M = X/4 kept MXU-friendly.
+    Requires M % 16 == 0 (so the packed row layout lands exactly on the
+    Kxp stride: pad8(M/2+1) + M + M/2 == pad8(X/2+1)) and the 512-class
+    regime where the dense/fold x matmul is the FLOP hot spot."""
+    return x % 4 == 0 and (x // 4) % 16 == 0 and x >= 512
+
+
+def _make_splitx(X: int):
+    """Packed constants for the hermitian DIF-split x stages (round 5).
+
+    X = 4*M decimation-in-frequency with per-q twiddles FOLDED into the
+    stage matrices (same recipe as the y/z split stages), exploiting the
+    real-input hermitian structure:
+
+      y_q[j] = sum_r omega_4^{-qr} x[j + M*r]   (block-contiguous adds)
+      X[4p+q] = (W_M diag(tw_q) y_q)[p],  tw_q[j] = omega_X^{-jq}
+
+      * q=0: y_0 REAL -> hermitian half rows p=0..M/2 only, one packed
+        real matmul [C0; S0] (2*pad0, M);
+      * q=2: y_2 REAL and block self-conjugate -> rows p=0..M/2-1, one
+        packed real matmul [G2re; G2im] (M, M);
+      * q=1: full complex Karatsuba triple (M, M) — its rows p >= M/2
+        CARRY block q=3's frequencies as conjugates (X real), so block 3
+        costs nothing.
+
+    MXU cost per data column: (2*pad0 + 4M)*M ~= 0.64*X^2/4... vs the
+    fold mode's 2*Kxp*Hp ~= X^2/2 — a further ~1.6x x-stage FLOP cut
+    (the round-4 verdict's split-of-X ask, with the hermitian reuse that
+    makes it actually beat fold).  The x-frequency rows land in a
+    PERMUTED block order [b0 | b1 | b2] (offsets 0, pad0, pad0+M); the
+    kernel spectrum is forwarded by the same pipeline so the spectral
+    multiply matches automatically, and the inverse consumes the same
+    layout (matrices below, 1/X and the conjugate-pair doubling folded
+    in).  Identities validated against np.fft in tests/test_splitx.py.
+
+    Returns (fwd_pack, inv_pack): (2*pad0 + 4M, M) and (M, 2*pad0 + 4M)
+    f32 numpy arrays (plan constants — numpy, see _triple)."""
+    M = X // 4
+    h = M // 2
+    pad0 = -(-(h + 1) // 8) * 8
+    jm = np.outer(np.arange(M), np.arange(M)) * (2.0 * np.pi / M)
+    jj = np.arange(M)
+    Wf = np.exp(-1j * jm)
+    Wi = np.exp(+1j * jm)
+    tw = lambda q: np.exp(-2j * np.pi * q * jj / X)
+
+    # ---- forward
+    C0 = np.zeros((pad0, M))
+    S0 = np.zeros((pad0, M))
+    pm = np.outer(np.arange(h + 1), jj) * (2.0 * np.pi / M)
+    C0[: h + 1] = np.cos(pm)
+    S0[: h + 1] = -np.sin(pm)
+    G2 = (Wf @ np.diag(tw(2)))[:h]
+    G1 = Wf @ np.diag(tw(1))
+    fwd = np.concatenate(
+        [C0, S0, G2.real, G2.imag, G1.real, G1.imag, G1.real + G1.imag],
+        axis=0,
+    )
+
+    # ---- inverse (1/X folded; block1's x2 conjugate-pair doubling folded)
+    H0 = Wi / X
+    H1 = (np.diag(np.exp(+2j * np.pi * 1 * jj / X)) @ Wi) / X
+    H2 = (np.diag(np.exp(+2j * np.pi * 2 * jj / X)) @ Wi) / X
+    A0 = np.zeros((M, pad0))
+    B0 = np.zeros((M, pad0))
+    for p in range(h + 1):
+        hp_col = H0[:, p]
+        hm_col = 0 if p in (0, h) else H0[:, (M - p) % M]
+        A0[:, p] = (hp_col + hm_col).real
+        B0[:, p] = -(hp_col - hm_col).imag
+    A2 = np.zeros((M, h))
+    B2 = np.zeros((M, h))
+    for p in range(h):
+        hp_col = H2[:, p]
+        hm_col = H2[:, M - 1 - p]
+        A2[:, p] = (hp_col + hm_col).real
+        B2[:, p] = -(hp_col - hm_col).imag
+    a1 = 2.0 * H1.real
+    b1 = 2.0 * H1.imag
+    inv = np.concatenate(
+        [A0, B0, A2, B2, a1, b1, a1 + b1], axis=1
+    )
+    f32 = lambda a: np.asarray(a, np.float32)
+    return f32(fwd), f32(inv)
 
 
 def pick_split(n: int) -> Tuple[int, int]:
@@ -305,7 +415,14 @@ def make_fused_plan(
     # 'schoolbook' is a runtime knob (same matrices); only 'stacked'
     # changes the plan layout
     cmul = "stacked" if cmul == "stacked" else "karatsuba"
-    return _make_fused_plan(shape, splits, fold_x, bool(twfold), cmul)
+    # hermitian DIF-split x (trace-time env knob like twfold; when its
+    # shape gate holds it REPLACES fold — one x mode per plan, and every
+    # plan sharing this X in the trace gets the same x-row permutation,
+    # kernel-spectrum prep included)
+    splitx = _splitx_wanted() and _splitx_eligible(int(shape[2]))
+    if splitx:
+        fold_x = False
+    return _make_fused_plan(shape, splits, fold_x, bool(twfold), cmul, splitx)
 
 
 make_fused_plan.cache_clear = lambda: _make_fused_plan.cache_clear()
@@ -321,6 +438,7 @@ def _make_fused_plan(
     fold_x: bool,
     twfold: bool,
     cmul: str = "karatsuba",
+    splitx: bool = False,
 ) -> FusedPlan:
     Z, Y, X = (int(s) for s in shape)
     kx = X // 2 + 1
@@ -338,7 +456,13 @@ def _make_fused_plan(
     kxp = -(-kx // 8) * 8  # 8-sublane-aligned pack stride
     H = X // 2
     hp = 0
-    if fold_x:
+    if splitx:
+        assert not fold_x
+        fxp, bxp = _make_splitx(X)
+        # row-layout invariant the kernels rely on (see _make_splitx)
+        M4 = X // 4
+        assert -(-(M4 // 2 + 1) // 8) * 8 + M4 + M4 // 2 == kxp
+    elif fold_x:
         if X % 2:
             raise ValueError("fold_x requires even X")
         hp = -(-(H + 1) // 8) * 8
@@ -377,8 +501,9 @@ def _make_fused_plan(
         kxp=kxp,
         fold=fold_x,
         hp=hp,
-        fxp2=None if fold_x else _np_split_bf16(fxp),
-        bxp2=None if fold_x else _np_split_bf16(bxp),
+        fxp2=None if (fold_x or splitx) else _np_split_bf16(fxp),
+        bxp2=None if (fold_x or splitx) else _np_split_bf16(bxp),
+        splitx=splitx,
     )
 
 
@@ -740,13 +865,91 @@ def _fold_eo(p, hp: int):
     return e, o
 
 
-def _fwd_x(fxp, p, kxp: int, precision, fold: bool = False, hp: int = 0):
+def _cols(x, a, b):
+    """Column-slice a packed matrix; presplit (hi, lo) pairs slice both."""
+    if isinstance(x, tuple):
+        return (x[0][:, a:b], x[1][:, a:b])
+    return x[:, a:b]
+
+
+def _splitx_geom(x: int):
+    """(M, h, pad0) for the split-x packs at length x (see _make_splitx)."""
+    M = x // 4
+    h = M // 2
+    return M, h, -(-(h + 1) // 8) * 8
+
+
+def _fwd_x_split(fxp, p, precision):
+    """Hermitian DIF-split x-rfft (see _make_splitx): block-contiguous
+    y_q adds (VPU) + one real matmul each for the self-hermitian blocks
+    q=0/q=2 + one Karatsuba triple for the q=1/q=3 conjugate pair.
+    Output rows in the PERMUTED [b0 | b1 | b2] layout, pad rows zero."""
+    X = p.shape[0]
+    M, h, pad0 = _splitx_geom(X)
+    o2 = 2 * pad0
+    o1 = o2 + M
+    f0 = _rows(fxp, 0, o2)
+    f2 = _rows(fxp, o2, o1)
+    trip1 = (
+        _rows(fxp, o1, o1 + M),
+        _rows(fxp, o1 + M, o1 + 2 * M),
+        _rows(fxp, o1 + 2 * M, o1 + 3 * M),
+    )
+    p0, p1, p2, p3 = (p[r * M : (r + 1) * M] for r in range(4))
+    s02, s13 = p0 + p2, p1 + p3
+    y0 = s02 + s13
+    y2 = s02 - s13
+    a, nb = p0 - p2, p3 - p1  # y_1 = a + i*nb
+    t0 = _dot(f0, y0, precision)  # (2*pad0, W): [C0@y0; S0@y0]
+    t2 = _dot(f2, y2, precision)  # (M, W): [re(h); im(h)]
+    r1, i1 = _cmul_left(trip1, a, nb, precision)  # (M, W) each
+    t_re = jnp.concatenate([t0[:pad0], r1, t2[:h]], axis=0)
+    t_im = jnp.concatenate([t0[pad0:], i1, t2[h:]], axis=0)
+    return t_re, t_im
+
+
+def _inv_x_split(bxp, t_re, t_im, precision, x: int):
+    """Inverse of :func:`_fwd_x_split` (1/X and the conjugate-pair
+    doubling folded into the plan matrices): three matmuls + the final
+    omega_4 recombination as four block adds."""
+    M, h, pad0 = _splitx_geom(x)
+    o2 = 2 * pad0
+    o1 = o2 + M
+    i0 = _cols(bxp, 0, o2)
+    i2 = _cols(bxp, o2, o1)
+    trip1 = (
+        _cols(bxp, o1, o1 + M),
+        _cols(bxp, o1 + M, o1 + 2 * M),
+        _cols(bxp, o1 + 2 * M, o1 + 3 * M),
+    )
+    v0 = _dot(
+        i0, jnp.concatenate([t_re[:pad0], t_im[:pad0]], axis=0), precision
+    )
+    v2 = _dot(
+        i2,
+        jnp.concatenate(
+            [t_re[pad0 + M :], t_im[pad0 + M :]], axis=0
+        ),
+        precision,
+    )
+    r1, i1 = _cmul_left(
+        trip1, t_re[pad0 : pad0 + M], t_im[pad0 : pad0 + M], precision
+    )
+    e, o = v0 + v2, v0 - v2
+    return jnp.concatenate([e + r1, o - i1, e - r1, o + i1], axis=0)
+
+
+def _fwd_x(fxp, p, kxp: int, precision, fold: bool = False, hp: int = 0,
+           splitx: bool = False):
     """Packed x-rfft of a real plane.  Dense mode: one (2*Kxp, X) @ (X, Y)
     product (25% fewer MXU row-tile passes at Kx = 128+1-class sizes).
     Fold mode: two (Kxp, Hp) products on the folded even/odd parts —
     contraction halved again (EXPERIMENTAL, see make_fused_plan).
+    Split mode: hermitian DIF-split, ~1.6x below fold (_fwd_x_split).
     Returns ALIGNED (Kxp, Y) halves — pad rows are zero and stay zero
     through the pipeline."""
+    if splitx:
+        return _fwd_x_split(fxp, p, precision)
     if fold:
         e, o = _fold_eo(p, hp)
         return _dot(fxp[:kxp], e, precision), _dot(fxp[kxp:], o, precision)
@@ -755,12 +958,14 @@ def _fwd_x(fxp, p, kxp: int, precision, fold: bool = False, hp: int = 0):
 
 
 def _inv_x(bxp, t_re, t_im, precision, fold: bool = False, hp: int = 0,
-           x: int = 0):
+           x: int = 0, splitx: bool = False):
     """Packed hermitian x-irfft.  Dense mode: stack the (Kxp, M) halves
     (aligned concat) and contract once against (X, 2*Kxp) — 3 contraction
     tiles instead of 4.  Fold mode: even/odd output parts from two
     (Hp, Kxp) products, recombined with one flip (the forward fold's
-    mirror)."""
+    mirror).  Split mode: _inv_x_split."""
+    if splitx:
+        return _inv_x_split(bxp, t_re, t_im, precision, x)
     if fold:
         H = x // 2
         ev = _dot(bxp[:hp], t_re, precision)
@@ -774,6 +979,7 @@ def _inv_x(bxp, t_re, t_im, precision, fold: bool = False, hp: int = 0,
 def _pass_a_kernel(
     x_ref, fxp_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
     ure_ref, uim_ref, *, om_y, kxp, precision, fold=False, hp=0,
+    splitx=False,
 ):
     """x-rfft + split y-DFT for one z-slab.  x (B, X, Y) -> u (Kxp, B, M).
 
@@ -799,7 +1005,8 @@ def _pass_a_kernel(
         # 264^3 in the round-3 stability ladder) — per-plane path
         for b in range(B):
             t_re, t_im = _fwd_x(
-                fxp, x_ref[b], kxp, precision, fold=fold, hp=hp
+                fxp, x_ref[b], kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
             )
             blk_re = [t_re[:, r * M : (r + 1) * M] for r in range(R)]
             blk_im = [t_im[:, r * M : (r + 1) * M] for r in range(R)]
@@ -817,8 +1024,9 @@ def _pass_a_kernel(
     for grp in _dual_groups(B):
         G = len(grp)
         planes = jnp.concatenate([x_ref[b] for b in grp], axis=1)
-        if fold:
-            t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
+        if fold or splitx:
+            t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=fold,
+                                hp=hp, splitx=splitx)
             s_re = jnp.concatenate(
                 [t_re[:, i * Y : (i + 1) * Y] for i in range(G)], axis=0
             )
@@ -938,19 +1146,20 @@ def _stack_freq_blocks(re_ref, im_ref, planes, R, M, kxp):
 
 
 def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision, fold: bool = False,
-                  hp: int = 0, x: int = 0):
+                  hp: int = 0, x: int = 0, splitx: bool = False):
     """Row-stacked (B*Kxp, M) halves -> (X, B*M) spatial planes.  Dense
     mode: ONE packed contraction (plane b = lane block [b*M, (b+1)*M)).
-    Fold mode: lane-pack re and im separately and recombine even/odd
-    output parts (row ops are plane-agnostic across the lane packing)."""
-    if fold:
+    Fold/split modes: lane-pack re and im separately (row ops are
+    plane-agnostic across the lane packing) and run the mode's _inv_x."""
+    if fold or splitx:
         re_pack = jnp.concatenate(
             [s_re[b * kxp : (b + 1) * kxp] for b in range(B)], axis=1
         )  # (Kxp, B*M)
         im_pack = jnp.concatenate(
             [s_im[b * kxp : (b + 1) * kxp] for b in range(B)], axis=1
         )
-        return _inv_x(bxp, re_pack, im_pack, precision, fold=True, hp=hp, x=x)
+        return _inv_x(bxp, re_pack, im_pack, precision, fold=fold, hp=hp,
+                      x=x, splitx=splitx)
     packed = jnp.concatenate(
         [
             jnp.concatenate(
@@ -965,13 +1174,14 @@ def _inv_x_planes(bxp, s_re, s_im, B, kxp, precision, fold: bool = False,
 
 
 def _fwd_x_planes(fxp, planes, B, kxp, precision, fold: bool = False,
-                  hp: int = 0):
+                  hp: int = 0, splitx: bool = False):
     """(X, B*W) spatial planes -> row-stacked (B*Kxp, W) halves.  The
-    fold rows act identically on lane-packed planes, so both modes run
-    their x matmuls once per slab."""
+    fold/split row ops act identically on lane-packed planes, so every
+    mode runs its x matmuls once per slab."""
     W = planes.shape[1] // B
-    if fold:
-        t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=True, hp=hp)
+    if fold or splitx:
+        t_re, t_im = _fwd_x(fxp, planes, kxp, precision, fold=fold, hp=hp,
+                            splitx=splitx)
         s_re = jnp.concatenate(
             [t_re[:, b * W : (b + 1) * W] for b in range(B)], axis=0
         )
@@ -992,6 +1202,7 @@ def _fwd_x_planes(fxp, planes, B, kxp, precision, fold: bool = False,
 def _pass_c_kernel(
     ure_ref, uim_ref, wya_ref, wyb_ref, wyab_ref, twyr_ref, twyi_ref,
     bxp_ref, out_ref, *, om_yi, kxp, precision, fold=False, hp=0,
+    splitx=False,
 ):
     """split y-inverse + hermitian x-irfft for one z-slab, PLANE-BATCHED
     (see _pass_a_kernel).  u (Kxp, B, M) -> out (B, X, Y)."""
@@ -1015,6 +1226,7 @@ def _pass_c_kernel(
             for r in range(R):
                 out_ref[b, :, r * M : (r + 1) * M] = _inv_x(
                     bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    splitx=splitx,
                     x=out_ref.shape[1],
                 )
         return
@@ -1027,6 +1239,7 @@ def _pass_c_kernel(
         for r in range(R):
             out = _inv_x_planes(
                 bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
                 x=out_ref.shape[1],
             )
             for i, b in enumerate(grp):
@@ -1042,7 +1255,7 @@ def _pass_cqa_kernel(
     fxp_ref,  # packed x-forward consts
     fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
     ure_ref, uim_ref,
-    *, om_yi, om_yf, kxp, precision, fold=False, hp=0,
+    *, om_yi, om_yf, kxp, precision, fold=False, hp=0, splitx=False,
 ):
     """Fused pass C (conv1 inverse) + compute_quotient + pass A (conv2
     forward) for one z-slab: v1 (Kx, B, M) + view (B, X, Y) -> u2
@@ -1077,11 +1290,13 @@ def _pass_cqa_kernel(
             for r in range(R):
                 blurred = _inv_x(
                     bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    splitx=splitx,
                     x=view_ref.shape[1],
                 )
                 quot = view_ref[b, :, r * M : (r + 1) * M] * (1.0 / blurred)
                 f_re, f_im = _fwd_x(
-                    fxp, quot, kxp, precision, fold=fold, hp=hp
+                    fxp, quot, kxp, precision, fold=fold, hp=hp,
+                    splitx=splitx,
                 )
                 q_re.append(f_re)
                 q_im.append(f_im)
@@ -1106,6 +1321,7 @@ def _pass_cqa_kernel(
         for r in range(R):
             blurred = _inv_x_planes(
                 bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
                 x=view_ref.shape[1],
             )
             view_r = jnp.concatenate(
@@ -1113,7 +1329,8 @@ def _pass_cqa_kernel(
             )  # (X, G*M)
             quot = view_r * (1.0 / blurred)
             s_re, s_im = _fwd_x_planes(
-                fxp, quot, G, kxp, precision, fold=fold, hp=hp
+                fxp, quot, G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
             )
             q_re.append(s_re)
             q_im.append(s_im)
@@ -1154,7 +1371,7 @@ def _pass_cu_kernel(
     iya_ref, iyb_ref, iyab_ref, ityr_ref, ityi_ref,
     bxp_ref, out_ref,
     *, om_yi, kxp, scalar_w: bool, lam: float, min_value: float,
-    precision, fold=False, hp=0,
+    precision, fold=False, hp=0, splitx=False,
 ):
     """Fused pass C (conv2 inverse) + RL update for one z-slab,
     PLANE-BATCHED: v2 (Kxp, B, M) + psi/weights slabs -> psi' (B, X, Y).
@@ -1180,6 +1397,7 @@ def _pass_cu_kernel(
             for r in range(R):
                 integral = _inv_x(
                     bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    splitx=splitx,
                     x=out_ref.shape[1],
                 )
                 psi = psi_ref[b, :, r * M : (r + 1) * M]
@@ -1201,6 +1419,7 @@ def _pass_cu_kernel(
         for r in range(R):
             integral = _inv_x_planes(
                 bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
                 x=out_ref.shape[1],
             )
             psi = jnp.concatenate(
@@ -1228,7 +1447,7 @@ def _pass_cua_kernel(
     fya_ref, fyb_ref, fyab_ref, ftyr_ref, ftyi_ref,  # y-forward consts
     psi_out_ref, ure_ref, uim_ref,
     *, om_yi, om_yf, kxp, scalar_w: bool, lam: float, min_value: float,
-    precision, fold=False, hp=0,
+    precision, fold=False, hp=0, splitx=False,
 ):
     """Fused pass C (conv2 inverse) + RL update + pass A (the NEXT view
     step's forward) for one z-slab: v2 (Kxp, B, M) + psi/weights slabs ->
@@ -1270,6 +1489,7 @@ def _pass_cua_kernel(
             for r in range(R):
                 integral = _inv_x(
                     bxp, t_re[r], t_im[r], precision, fold=fold, hp=hp,
+                    splitx=splitx,
                     x=psi_out_ref.shape[1],
                 )
                 psi = psi_ref[b, :, r * M : (r + 1) * M]
@@ -1280,7 +1500,8 @@ def _pass_cua_kernel(
                 )
                 new = _rl_update_block(psi, integral, w, lam, min_value)
                 psi_out_ref[b, :, r * M : (r + 1) * M] = new
-                f_re, f_im = _fwd_x(fxp, new, kxp, precision, fold=fold, hp=hp)
+                f_re, f_im = _fwd_x(fxp, new, kxp, precision, fold=fold,
+                                    hp=hp, splitx=splitx)
                 q_re.append(f_re)
                 q_im.append(f_im)
             o_re, o_im = _fwd_split_right(
@@ -1304,6 +1525,7 @@ def _pass_cua_kernel(
         for r in range(R):
             integral = _inv_x_planes(
                 bxp, t_re[r], t_im[r], G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
                 x=psi_out_ref.shape[1],
             )
             psi = jnp.concatenate(
@@ -1322,7 +1544,8 @@ def _pass_cua_kernel(
                     :, i * M : (i + 1) * M
                 ]
             s_re, s_im = _fwd_x_planes(
-                fxp, new, G, kxp, precision, fold=fold, hp=hp
+                fxp, new, G, kxp, precision, fold=fold, hp=hp,
+                splitx=splitx,
             )
             q_re.append(s_re)
             q_im.append(s_im)
@@ -1481,6 +1704,7 @@ def _run_pass_a(xt, plan, B, interpret, precision):
         functools.partial(
             _pass_a_kernel, om_y=sy.omf, kxp=plan.kxp,
             precision=precision, fold=plan.fold, hp=plan.hp,
+            splitx=plan.splitx,
         ),
         grid=(Z // B,),
         in_specs=[
@@ -1568,6 +1792,7 @@ def _presplit_on(precision: str, plan) -> bool:
     return (
         precision == "bf16_3x"
         and not plan.fold
+        and not plan.splitx
         and _os.environ.get("LMVN_FUSED_PRESPLIT", "0") == "1"
     )
 
@@ -1599,6 +1824,7 @@ def _run_pass_c(v_re, v_im, plan, B, interpret, precision):
         functools.partial(
             _pass_c_kernel, om_yi=sy.omi, kxp=plan.kxp,
             precision=precision, fold=plan.fold, hp=plan.hp,
+            splitx=plan.splitx,
         ),
         grid=(Z // B,),
         in_specs=[
@@ -1632,6 +1858,7 @@ def _run_pass_cqa(v_re, v_im, view_t, plan, B, interpret, precision):
         functools.partial(
             _pass_cqa_kernel, om_yi=sy.omi, om_yf=sy.omf,
             kxp=plan.kxp, precision=precision, fold=plan.fold, hp=plan.hp,
+            splitx=plan.splitx,
         ),
         grid=(Z // B,),
         in_specs=(
@@ -1691,6 +1918,7 @@ def _run_pass_cu(
             _pass_cu_kernel, om_yi=sy.omi, kxp=plan.kxp, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
             fold=plan.fold, hp=plan.hp,
+            splitx=plan.splitx,
         ),
         grid=(Z // B,),
         in_specs=(
@@ -1733,6 +1961,7 @@ def _run_pass_cua(
             kxp=plan.kxp, scalar_w=scalar_w,
             lam=float(lam), min_value=float(min_value), precision=precision,
             fold=plan.fold, hp=plan.hp,
+            splitx=plan.splitx,
         ),
         grid=(Z // B,),
         in_specs=(

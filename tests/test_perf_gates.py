@@ -145,8 +145,16 @@ def test_foldx_default_not_slower_at_512(tpu, monkeypatch):
     try:
         kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True,
                   algorithm="fused")
-        t_fold = _time_rl_env(monkeypatch, {"LMVN_FUSED_FOLDX": "1"}, **kw)
-        t_dense = _time_rl_env(monkeypatch, {"LMVN_FUSED_FOLDX": "0"}, **kw)
+        # split-x (the round-5 512-class default) REPLACES fold on its
+        # shapes — pin it off so this gate still compares fold vs dense
+        t_fold = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_FOLDX": "1", "LMVN_FUSED_SPLITX": "0"}, **kw
+        )
+        t_dense = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_FOLDX": "0", "LMVN_FUSED_SPLITX": "0"}, **kw
+        )
         assert t_fold < 1.05 * t_dense, (t_fold, t_dense)
     finally:
         set_matmul_precision("highest")
@@ -167,5 +175,31 @@ def test_carried_default_not_slower_at_512(tpu, monkeypatch):
         t_carried = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "1"}, **kw)
         t_plain = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "0"}, **kw)
         assert t_carried < 1.05 * t_plain, (t_carried, t_plain)
+    finally:
+        set_matmul_precision("highest")
+
+
+@requires_gates
+def test_splitx_default_beats_fold_at_512(tpu, monkeypatch):
+    """Round-5 default: hermitian DIF-split x stages at the 512 class
+    under bf16_3x — measured **15.95 vs 12.52 it/s** slopes against the
+    round-4 fold default in the same session (docs/measure_r5.out).
+    Catch the default flipping or split-x regressing below fold."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+
+    set_matmul_precision("high")  # the split-x default is bf16_3x-gated
+    try:
+        kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True,
+                  algorithm="fused")
+        t_split = _time_rl_env(
+            monkeypatch, {"LMVN_FUSED_SPLITX": "1"}, **kw
+        )
+        t_fold = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_SPLITX": "0", "LMVN_FUSED_FOLDX": "1"}, **kw
+        )
+        # the slope win is ~27%; full-call dilution + ~2% tunnel noise
+        # still leave a wide margin — gate at "not slower than fold"
+        assert t_split < 1.05 * t_fold, (t_split, t_fold)
     finally:
         set_matmul_precision("highest")

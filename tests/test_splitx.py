@@ -1,0 +1,213 @@
+"""Hermitian DIF-split x stages (LMVN_FUSED_SPLITX, round 5).
+
+The 512-class x transform is the remaining dense N^2 matmul of the fused
+chain (round-4 FLOP accounting: dense x ~72% of A/C-pass FLOPs, fold
+halves it).  The split-x mode decomposes X = 4x128 decimation-in-frequency
+with per-q twiddle-FOLDED stage matrices — same recipe as the y/z split
+stages — and exploits the real-input hermitian structure: blocks q=0 and
+q=2 have REAL inputs (one packed real matmul each), block q=3 is the
+conjugate mirror of block q=1 (computed once, full M rows).  MXU cost
+~1.6x below fold mode; the x-frequency rows land in a PERMUTED block
+order that the kernel spectrum (forwarded by the same pipeline) matches
+automatically.
+
+Gate: the 512 class (X >= 512, X/4 % 16 == 0 — the row-layout
+invariant); other X fall back to fold/dense.  Env knob
+LMVN_FUSED_SPLITX, trace-time, fingerprinted into the public drivers'
+jit keys like every fused knob.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches():
+    """Plan + jit caches must not leak splitx layouts across tests."""
+    import jax
+
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    yield
+    make_fused_plan.cache_clear()
+    jax.clear_caches()
+
+
+def _convolve(shape, rng, monkeypatch, splitx, kshape=(5, 5, 5)):
+    import jax
+
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+        make_fused_plan,
+    )
+
+    del rng  # fixed seed: A/B calls must see IDENTICAL data
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1" if splitx else "0")
+    make_fused_plan.cache_clear()
+    jax.clear_caches()
+    x = (np.random.default_rng(42).normal(size=shape) + 3.0).astype(
+        np.float32
+    )
+    k = gaussian_kernel(kshape, 1.1)
+    kre, kim = kernel_spectrum_fused(jnp.asarray(k), shape)
+    got = np.asarray(
+        fused_convolve_spectrum(jnp.asarray(x), kre, kim, interpret=True)
+    )
+    return x, k, got
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 512)], ids=str)
+def test_splitx_convolve_matches_oracle(shape, rng, monkeypatch):
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+
+    x, k, got = _convolve(shape, rng, monkeypatch, splitx=True)
+    ref = np_convolve_spectrum(
+        x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 512)], ids=str)
+def test_splitx_matches_default_mode(shape, rng, monkeypatch):
+    x, k, a = _convolve(shape, rng, monkeypatch, splitx=False)
+    x2, k2, b = _convolve(shape, rng, monkeypatch, splitx=True)
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+
+
+def test_splitx_plane_batched_path(rng, monkeypatch):
+    """Y = 128 runs the plane-batched (lane-packed) x path; the split-x
+    row ops must be plane-agnostic across the lane packing exactly like
+    fold's."""
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+
+    shape = (8, 128, 512)
+    x, k, got = _convolve(shape, rng, monkeypatch, splitx=True)
+    ref = np_convolve_spectrum(
+        x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_splitx_gate_is_x512_only(monkeypatch):
+    """The knob only changes plans in the 512-class (X >= 512 with
+    X/4 % 16 == 0); everything below keeps its existing mode."""
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+    make_fused_plan.cache_clear()
+    assert make_fused_plan((8, 8, 512)).splitx
+    assert not make_fused_plan((8, 8, 256)).splitx  # below the 512 class
+    assert make_fused_plan((8, 8, 1024)).splitx  # M=256 meets the gate
+    assert not make_fused_plan((8, 8, 264)).splitx  # M%16 fails
+    # splitx replaces fold on its shapes (one x mode per plan)
+    p = make_fused_plan((8, 8, 512), fold_x=True)
+    assert p.splitx and not p.fold
+
+
+def test_splitx_rl_step_matches_default(rng, monkeypatch):
+    """Full fused RL view step agrees between split-x and default modes
+    (the composition the 512-class bench would run)."""
+    import jax
+
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_rl_step_transposed,
+        kernel_spectrum_fused,
+        make_fused_plan,
+    )
+
+    shape = (8, 16, 512)  # (Z, Y, X)
+    shape_t = (8, 512, 16)
+    view = jnp.asarray(rng.gamma(2.0, 10.0, shape_t).astype(np.float32))
+    psi = jnp.asarray(np.full(shape_t, 40.0, np.float32))
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    outs = []
+    for mode in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_SPLITX", mode)
+        make_fused_plan.cache_clear()
+        jax.clear_caches()
+        s1 = kernel_spectrum_fused(jnp.asarray(k1), shape)
+        s2 = kernel_spectrum_fused(jnp.asarray(np.flip(k1).copy()), shape)
+        outs.append(
+            np.asarray(
+                fused_rl_step_transposed(
+                    psi, view, np.float32(0.5), s1, s2, 0.006, 1e-4,
+                    interpret=True,
+                )
+            )
+        )
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-4)
+
+
+def test_splitx_carried_chain_matches_plain(rng, monkeypatch):
+    """The carried 4-pass chain (the 512-class default) under split-x is
+    bitwise-identical to the plain 5-pass chain under split-x — the same
+    invariant the default mode holds."""
+    import jax
+
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_forward_transposed,
+        fused_rl_step_carried,
+        fused_rl_step_transposed,
+        kernel_spectrum_fused,
+        make_fused_plan,
+    )
+
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+    make_fused_plan.cache_clear()
+    jax.clear_caches()
+    shape = (8, 16, 512)
+    shape_t = (8, 512, 16)
+    view = jnp.asarray(rng.gamma(2.0, 10.0, shape_t).astype(np.float32))
+    psi = jnp.asarray(np.full(shape_t, 40.0, np.float32))
+    k1 = gaussian_kernel((5, 5, 5), 1.0)
+    s1 = kernel_spectrum_fused(jnp.asarray(k1), shape)
+    s2 = kernel_spectrum_fused(jnp.asarray(np.flip(k1).copy()), shape)
+    plain = np.asarray(
+        fused_rl_step_transposed(
+            psi, view, np.float32(0.5), s1, s2, 0.006, 1e-4, interpret=True
+        )
+    )
+    u = fused_forward_transposed(psi, interpret=True)
+    carried_psi, _u2 = fused_rl_step_carried(
+        psi, u, view, np.float32(0.5), s1, s2, 0.006, 1e-4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(carried_psi), plain)
+
+
+def test_splitx_knob_fingerprinted():
+    from libmultiviewnative_tpu.deconv.rl import _FUSED_KNOB_ENV
+
+    assert "LMVN_FUSED_SPLITX" in _FUSED_KNOB_ENV
+
+
+def test_splitx_auto_gate(monkeypatch):
+    """Default 'auto': split-x ON at eligible shapes under bf16_3x (the
+    measured 15.95-vs-12.52 it/s config), OFF at 'highest' (unmeasured
+    there — same convention as the fold/carried gates)."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    monkeypatch.delenv("LMVN_FUSED_SPLITX", raising=False)
+    try:
+        set_matmul_precision("high")
+        make_fused_plan.cache_clear()
+        assert make_fused_plan((8, 8, 512)).splitx
+        assert not make_fused_plan((8, 8, 256)).splitx
+        set_matmul_precision("highest")
+        make_fused_plan.cache_clear()
+        assert not make_fused_plan((8, 8, 512)).splitx
+    finally:
+        set_matmul_precision("highest")
+        make_fused_plan.cache_clear()
