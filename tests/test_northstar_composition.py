@@ -1,0 +1,142 @@
+"""End-to-end oracle check of the EXACT 512^3 north-star bench composition
+(round-4 verdict, Weak #6): fused Mosaic engine + carried pass-A chain +
+hermitian-fold x stages + adjoint_kernel2 + per-view scalar weights +
+Tikhonov λ, all FORCED on, against the float64 numpy mirror of the
+reference math (/root/reference/src/multiviewnative.cpp:191-228).
+
+The gate classes are by MAX AXIS, so a (384, 32, 32) volume triggers the
+same fold/carried defaults as the 512^3 bench config while staying small
+enough for interpret mode (the Mosaic kernel runs interpreted on the CPU
+test mesh); the 21^3 kernels are the bench's own PSF class.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libmultiviewnative_tpu.core.dft import set_matmul_precision
+from libmultiviewnative_tpu.deconv.rl import (
+    _carry_enabled,
+    _fold_enabled,
+    deconvolve_jit,
+)
+from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+from libmultiviewnative_tpu.reference.numpy_ref import np_deconvolve
+from libmultiviewnative_tpu.reference.oracle import rms
+from libmultiviewnative_tpu.utils.synthetic import gaussian_kernel
+
+
+@pytest.fixture(autouse=True)
+def _restore_precision():
+    yield
+    set_matmul_precision("highest")
+
+
+@pytest.mark.timeout(600)
+def test_northstar_composition_vs_float64_oracle(monkeypatch):
+    # the bench's exact option stack, forced explicitly (belt + braces on
+    # top of the auto gates, which the assert below double-checks)
+    monkeypatch.setenv("LMVN_FUSED_FOLDX", "1")
+    monkeypatch.setenv("LMVN_FUSED_CARRY", "1")
+    set_matmul_precision("high")  # bf16_3x — the bench's opt-in
+    jax.clear_caches()
+
+    V = 4
+    shape = (384, 32, 32)  # 384-class: same fold/carried gate as 512^3
+    # the auto gates must already be ON for this class under bf16_3x —
+    # i.e. this test really runs the north star's composition
+    assert _fold_enabled(shape) and _carry_enabled(shape)
+
+    rng = np.random.default_rng(0)
+    k1 = np.stack(
+        [gaussian_kernel((21,) * 3, 2.0 + 0.5 * v) for v in range(V)]
+    )
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    data = MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k1),  # ignored under adjoint_kernel2
+        weights=jnp.full((V,), 1.0 / V, jnp.float32),
+    )
+    psi0 = np.full(shape, float(views.mean()), np.float32)
+
+    got = np.asarray(
+        deconvolve_jit(
+            jnp.asarray(psi0), data, num_iterations=2, lam=0.006,
+            min_value=1e-4, algorithm="fused", adjoint_kernel2=True,
+        )
+    )
+    assert np.all(np.isfinite(got))
+
+    # float64 mirror: adjoint_kernel2 == flip(kernel1); scalar weights
+    # broadcast to full stacks
+    k2 = [np.flip(k, axis=(0, 1, 2)) for k in k1]
+    w = [np.full(shape, 1.0 / V, np.float64) for _ in range(V)]
+    want = np_deconvolve(
+        psi0.astype(np.float64), list(views), list(k1), k2, w,
+        num_iterations=2, lam=0.006, min_value=1e-4,
+    )
+
+    scale = float(np.abs(want).max())
+    rel = np.abs(got - want).max() / scale
+    # bf16_3x transform class (~3e-5 per convolve) compounded over
+    # 2 iterations x 4 views x 2 convolves stays well under the golden
+    # acceptance tolerances (1e-2 central-crop class); pin an order
+    # tighter than that
+    assert rel < 1e-3, rel
+    assert rms(got, want) / scale < 2e-4, rms(got, want) / scale
+
+
+@pytest.mark.timeout(600)
+def test_northstar_splitx_composition_vs_float64_oracle(monkeypatch):
+    """Round 5 made hermitian DIF-split x the 512-class default
+    (15.95 vs 12.52 it/s, docs/measure_r5.out) — re-anchor the full bench
+    composition with split-x in place of fold: fused + carried + SPLIT-X
+    + adjoint_kernel2 + scalar weights + Tikhonov λ vs the float64
+    mirror, at an X=512 thin shape (split-x gates on the X axis)."""
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+    monkeypatch.setenv("LMVN_FUSED_CARRY", "1")
+    set_matmul_precision("high")
+    jax.clear_caches()
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    make_fused_plan.cache_clear()
+
+    V = 4
+    shape = (8, 32, 512)  # max axis 512 -> carried gate on; X=512 -> splitx
+    assert _carry_enabled(shape)
+    assert make_fused_plan(shape).splitx
+
+    rng = np.random.default_rng(3)
+    # 21^3 kernels need >= 21 per axis; z=8 < 21 -> use a z-thin PSF of
+    # the same smooth class (7, 21, 21)
+    k1 = np.stack(
+        [gaussian_kernel((7, 21, 21), 1.5 + 0.4 * v) for v in range(V)]
+    )
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    data = MultiViewData(
+        views=jnp.asarray(views),
+        kernel1=jnp.asarray(k1),
+        kernel2=jnp.asarray(k1),  # ignored under adjoint_kernel2
+        weights=jnp.full((V,), 1.0 / V, jnp.float32),
+    )
+    psi0 = np.full(shape, float(views.mean()), np.float32)
+    got = np.asarray(
+        deconvolve_jit(
+            jnp.asarray(psi0), data, num_iterations=2, lam=0.006,
+            min_value=1e-4, algorithm="fused", adjoint_kernel2=True,
+        )
+    )
+    assert np.all(np.isfinite(got))
+    k2 = [np.flip(k, axis=(0, 1, 2)) for k in k1]
+    w = [np.full(shape, 1.0 / V, np.float64) for _ in range(V)]
+    want = np_deconvolve(
+        psi0.astype(np.float64), list(views), list(k1), k2, w,
+        num_iterations=2, lam=0.006, min_value=1e-4,
+    )
+    scale = float(np.abs(want).max())
+    assert np.abs(got - want).max() / scale < 1e-3
+    assert rms(got, want) / scale < 2e-4
+    make_fused_plan.cache_clear()

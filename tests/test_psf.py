@@ -138,3 +138,38 @@ def test_compound_modes_convergence_ordering():
     assert errs["independent"] > errs["efficient_bayesian"]
     assert errs["efficient_bayesian"] > errs["optimization_i"]
     assert errs["optimization_i"] > errs["optimization_ii"]
+
+
+def test_compound_fewer_iterations_to_fixed_rms():
+    """The complementary framing of the paper's claim (round-4 verdict
+    #8): iterations-to-target — efficient_bayesian must reach the rms
+    that independent RL needs 10 iterations for in strictly FEWER
+    iterations (arXiv:1308.0730's 'fewer iterations for the same
+    quality' headline, anchored empirically rather than by citation)."""
+    shape = (24, 24, 24)
+    rng = np.random.default_rng(7)
+    phantom = np.full(shape, 1.0)
+    for _ in range(5):
+        z, y, x = (rng.integers(4, s - 4) for s in shape)
+        phantom[z, y, x] = 300.0
+    k1s = [
+        aniso_kernel((9, 9, 9), (2.5, 0.8, 0.8)),
+        aniso_kernel((9, 9, 9), (0.8, 2.5, 0.8)),
+    ]
+    views = [
+        np_convolve_spectrum(phantom, np.fft.rfftn(np_wrap_kernel(k, shape)))
+        for k in k1s
+    ]
+    target = _rl_error(
+        compound_kernels(k1s, "independent", output_shape=(9, 9, 9)),
+        phantom, views, k1s, shape, iters=10,
+    )
+    eb = compound_kernels(
+        k1s, "efficient_bayesian", output_shape=(9, 9, 9)
+    )
+    needed = None
+    for it in range(1, 10):
+        if _rl_error(eb, phantom, views, k1s, shape, iters=it) <= target:
+            needed = it
+            break
+    assert needed is not None and needed < 10, needed
