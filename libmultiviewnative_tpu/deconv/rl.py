@@ -189,6 +189,18 @@ def _carry_enabled(spatial) -> bool:
                 "('high')) or drop the forced carry"
             )
         return mode == "1"
+    # Round-5: when the hermitian DIF-split x stages are active for this
+    # shape, the carried chain's trade FLIPS — splitx cuts the MXU share,
+    # pushing the chain toward the HBM floor where the carried chain's
+    # two extra spectral writes outweigh the saved psi re-read (measured
+    # at the 4-view 512^3 bench config, same session: plain 16.54 vs
+    # carried 15.89 it/s slopes; the splitx perf gate caught it first).
+    # Carried remains the default in the fold regime (384-class), where
+    # it measured ahead in rounds 3-5.
+    from ..ops.pallas.fused_dft2 import _splitx_eligible, _splitx_wanted
+
+    if _splitx_wanted() and _splitx_eligible(int(spatial[-1])):
+        return False
     return bf16_3x and max(int(d) for d in spatial) >= 384
 
 

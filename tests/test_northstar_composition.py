@@ -92,12 +92,16 @@ def test_northstar_composition_vs_float64_oracle(monkeypatch):
 @pytest.mark.timeout(600)
 def test_northstar_splitx_composition_vs_float64_oracle(monkeypatch):
     """Round 5 made hermitian DIF-split x the 512-class default
-    (15.95 vs 12.52 it/s, docs/measure_r5.out) — re-anchor the full bench
-    composition with split-x in place of fold: fused + carried + SPLIT-X
-    + adjoint_kernel2 + scalar weights + Tikhonov λ vs the float64
-    mirror, at an X=512 thin shape (split-x gates on the X axis)."""
+    (15.95 vs 12.52 it/s vs fold, docs/measure_r5.out) and flipped the
+    carried chain OFF in the split-x regime (plain 16.54 vs carried
+    15.89) — re-anchor the bench composition the headline number ships
+    on: fused + SPLIT-X + plain 5-pass chain + adjoint_kernel2 + scalar
+    weights + Tikhonov λ vs the float64 mirror, at an X=512 thin shape
+    (split-x gates on the X axis).  The carried+split-x composition is
+    separately locked bitwise-equal to this plain chain in
+    tests/test_splitx.py."""
     monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
-    monkeypatch.setenv("LMVN_FUSED_CARRY", "1")
+    monkeypatch.delenv("LMVN_FUSED_CARRY", raising=False)
     set_matmul_precision("high")
     jax.clear_caches()
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
@@ -105,9 +109,10 @@ def test_northstar_splitx_composition_vs_float64_oracle(monkeypatch):
     make_fused_plan.cache_clear()
 
     V = 4
-    shape = (8, 32, 512)  # max axis 512 -> carried gate on; X=512 -> splitx
-    assert _carry_enabled(shape)
+    shape = (8, 32, 512)
+    # the defaults this composition ships with: split-x ON, carried OFF
     assert make_fused_plan(shape).splitx
+    assert not _carry_enabled(shape)
 
     rng = np.random.default_rng(3)
     # 21^3 kernels need >= 21 per axis; z=8 < 21 -> use a z-thin PSF of

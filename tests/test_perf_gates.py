@@ -162,19 +162,44 @@ def test_foldx_default_not_slower_at_512(tpu, monkeypatch):
 
 @requires_gates
 def test_carried_default_not_slower_at_512(tpu, monkeypatch):
-    """Round-3 default: the carried 4-pass chain at 512-class under
-    bf16_3x (11.09-11.22 carried vs 10.81-10.87 plain it/s slopes).
-    Catch the default flipping or the carried chain regressing below
-    plain."""
+    """The carried-chain default is REGIME-DEPENDENT since round 5:
+
+    * fold regime (SPLITX=0, the 384-class default): carried wins
+      (rounds 3-5: 11.09-11.22 carried vs 10.81-10.87 plain slopes) —
+      gate carried >= plain there;
+    * split-x regime (the 512-class default): the trade FLIPS — splitx
+      cuts the MXU share and the chain sits closer to the HBM floor,
+      where the carried chain's two extra spectral writes outweigh the
+      saved psi re-read (round-5: plain 16.54 vs carried 15.89 it/s at
+      the 4-view bench config; this very gate caught it) — the auto
+      gate turns carried OFF, so gate plain >= carried.
+    """
     from libmultiviewnative_tpu.core.dft import set_matmul_precision
 
     set_matmul_precision("high")  # the carried default is bf16_3x-gated
     try:
         kw = dict(shape=(512, 512, 512), V=1, iters=2, scalar_weights=True,
                   algorithm="fused")
-        t_carried = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "1"}, **kw)
-        t_plain = _time_rl_env(monkeypatch, {"LMVN_FUSED_CARRY": "0"}, **kw)
+        # fold regime: carried (the default there) not slower than plain
+        t_carried = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_CARRY": "1", "LMVN_FUSED_SPLITX": "0"}, **kw
+        )
+        t_plain = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_CARRY": "0", "LMVN_FUSED_SPLITX": "0"}, **kw
+        )
         assert t_carried < 1.05 * t_plain, (t_carried, t_plain)
+        # split-x regime: plain (the default there) not slower than carried
+        t_carried_sx = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_CARRY": "1", "LMVN_FUSED_SPLITX": "1"}, **kw
+        )
+        t_plain_sx = _time_rl_env(
+            monkeypatch,
+            {"LMVN_FUSED_CARRY": "0", "LMVN_FUSED_SPLITX": "1"}, **kw
+        )
+        assert t_plain_sx < 1.05 * t_carried_sx, (t_plain_sx, t_carried_sx)
     finally:
         set_matmul_precision("highest")
 
