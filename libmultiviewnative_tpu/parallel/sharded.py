@@ -529,6 +529,37 @@ def _deconvolve_sharded_jit(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations", "mesh", "algorithm", "elementwise", "view_order",
+        "knobs",
+    ),
+    donate_argnums=(0,),
+)
+def _deconvolve_sharded_jit_traced(
+    psi,
+    data,
+    lam,
+    min_value,
+    num_iterations: int,
+    mesh: Mesh,
+    algorithm: str = "fft",
+    elementwise: str = "jnp",
+    view_order: str = "simultaneous",
+    knobs: tuple = None,
+):
+    """The fft/dft mesh driver with λ/min_value as TRACED operands —
+    same λ-sweep-compiles-once contract as the in-core drivers
+    (deconv.rl._deconvolve_jit_traced); the scalars ride into shard_map
+    as replicated closure constants."""
+    del knobs  # jit cache key only (see deconv.rl._knob_fingerprint)
+    return deconvolve_sharded(
+        psi, data, num_iterations, mesh, lam, min_value, algorithm,
+        elementwise, view_order,
+    )
+
+
 def deconvolve_sharded_jit(
     psi,
     data,
@@ -544,15 +575,33 @@ def deconvolve_sharded_jit(
     env knobs — which now include the mesh-relevant fold default — are
     fingerprinted into the jit key at call time, exactly like the in-core
     public drivers (advisor, round 3): flipping a knob mid-process
-    retraces instead of silently reusing the stale program."""
+    retraces instead of silently reusing the stale program.
+
+    λ/min_value are RUNTIME operands on the explicit fft/dft mesh
+    engines (round 5, matching the in-core contract); 'auto' (which may
+    resolve to the fused Mosaic engine — compile-time epilogue
+    constants) and 'fused' keep them trace-static."""
     from ..deconv.rl import _knob_fingerprint
 
+    if elementwise == "jnp" and algorithm in ("fft", "dft"):
+        return _deconvolve_sharded_jit_traced(
+            psi, data, jnp.float32(lam), jnp.float32(min_value),
+            num_iterations, mesh, algorithm, elementwise, view_order,
+            knobs=_knob_fingerprint(),
+        )
     return _deconvolve_sharded_jit(
         psi, data, num_iterations, mesh, lam, min_value, algorithm,
         elementwise, view_order, knobs=_knob_fingerprint(),
     )
 
 
+def _sharded_cache_size():
+    return (
+        _deconvolve_sharded_jit._cache_size()
+        + _deconvolve_sharded_jit_traced._cache_size()
+    )
+
+
 # mirror deconv.rl.deconvolve_jit: keep the jitted function's cache
 # introspection on the PUBLIC symbol (advisor, round 4)
-deconvolve_sharded_jit._cache_size = _deconvolve_sharded_jit._cache_size
+deconvolve_sharded_jit._cache_size = _sharded_cache_size

@@ -119,3 +119,55 @@ def test_fused_interpret_lambda_matches_traced(rng):
         deconvolve_jit(psi0.copy(), data, 2, lam=0.006, algorithm="fft")
     )
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 virtual devices"
+)
+@pytest.mark.parametrize("view_order", ["simultaneous", "sequential"])
+def test_sharded_lambda_sweep_compiles_once(rng, view_order):
+    """Round 5: the mesh rung honors the same λ contract on its explicit
+    fft engine — one compiled program serves the whole sweep, in BOTH
+    view orders (sequential = the z-only parity mode)."""
+    import jax
+    import numpy as np
+
+    from libmultiviewnative_tpu.parallel.sharded import (
+        deconvolve_sharded_jit,
+        make_mesh,
+        shard_workspace,
+    )
+
+    data, psi0 = _problem(rng, V=2, shape=(16, 16, 16))
+    if view_order == "sequential":
+        mesh = make_mesh(
+            view_parallel=1, z_parallel=4,
+            devices=np.asarray(jax.devices()[:4]),
+        )
+    else:
+        mesh = make_mesh(
+            view_parallel=2, z_parallel=2,
+            devices=np.asarray(jax.devices()[:4]),
+        )
+    psi_s, data_s = shard_workspace(data, psi0, mesh)
+    deconvolve_sharded_jit(
+        psi_s + 0, data_s, 2, mesh, lam=0.0, view_order=view_order
+    )
+    n0 = deconvolve_sharded_jit._cache_size()
+    for lam in (0.0, 0.002, 0.006, 0.02, 0.05):
+        got = np.asarray(
+            deconvolve_sharded_jit(
+                psi_s + 0, data_s, 2, mesh, lam=lam, view_order=view_order
+            )
+        )
+        want = np.asarray(
+            deconvolve(
+                psi0.copy(), data, 2, lam=lam, algorithm="fft",
+                view_order=view_order,
+            )
+        )
+        # overlap-save transforms at halo-extended extents vs the
+        # single-device program: f32 roundoff class (see test_dispatch's
+        # 5e-5 convention), not a λ-path discrepancy
+        assert float(np.sqrt(np.mean((got - want) ** 2))) < 5e-5
+    assert deconvolve_sharded_jit._cache_size() == n0
