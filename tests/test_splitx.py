@@ -213,17 +213,18 @@ def test_splitx_auto_gate(monkeypatch):
         make_fused_plan.cache_clear()
 
 
-def test_splitx_x1024_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("shape", [(8, 8, 1024), (8, 8, 768)], ids=str)
+def test_splitx_x1024_matches_oracle(shape, rng, monkeypatch):
     """The gate admits any X >= 512 with X/4 % 16 == 0 — lock the
-    generic-M construction at X=1024 (M=256, pad0=136; the row-layout
-    invariant pad0 + M + M/2 == Kxp = 520 holds there too)."""
+    generic-M construction beyond 512: X=1024 (M=256, pad0=136; the
+    row-layout invariant pad0 + M + M/2 == Kxp = 520 holds there too)
+    and the non-power-of-two X=768 (M=192)."""
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
     from libmultiviewnative_tpu.reference.numpy_ref import (
         np_convolve_spectrum,
         np_wrap_kernel,
     )
 
-    shape = (8, 8, 1024)
     x, k, got = _convolve(shape, rng, monkeypatch, splitx=True)
     ref = np_convolve_spectrum(
         x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
