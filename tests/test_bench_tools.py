@@ -49,3 +49,51 @@ def test_generate_dims_ladder():
     # strictly doubling total volume each step
     vols = [d[0] * d[1] * d[2] for d in ladder]
     assert all(b == 2 * a for a, b in zip(vols, vols[1:]))
+
+
+def test_bench_slope_helper(monkeypatch):
+    """bench._slope_config: two-point fit at (n/3, n) — the larger point
+    is the shipped config (round-5: a 3n-iteration 512^3 program
+    exceeded HBM where the n-iteration config fits); LMVN_BENCH_SLOPE=0
+    and degenerate iteration counts return None."""
+    import numpy as np
+
+    import bench
+
+    class _FakeJnp:
+        @staticmethod
+        def sum(x):
+            return float(x)
+
+    # linear cost model: t(n) = overhead + n * per_iter
+    calls = []
+
+    def run_n(n):
+        calls.append(n)
+        t0 = bench.time.perf_counter
+
+        class _T:
+            pass
+
+        return 0.0
+
+    # emulate timing by monkeypatching perf_counter around a deterministic
+    # schedule: warmup + 2 passes per point
+    times = iter(
+        # n=3: two passes of (start, end) with dt=0.5+3*0.1
+        [0.0, 0.8, 10.0, 10.8]
+        # n=10: dt=0.5+10*0.1
+        + [20.0, 21.5, 30.0, 31.5]
+    )
+    monkeypatch.setattr(
+        bench.time, "perf_counter", lambda: next(times)
+    )
+    s = bench._slope_config(run_n, _FakeJnp, 10)
+    # slope = (10-3)/(1.5-0.8) = 10 it/s on the synthetic cost model
+    assert abs(s - 10.0) < 1e-6, s
+    assert calls == [3, 3, 3, 10, 10, 10]  # warmup + 2 passes each
+
+    monkeypatch.setenv("LMVN_BENCH_SLOPE", "0")
+    assert bench._slope_config(run_n, _FakeJnp, 10) is None
+    monkeypatch.delenv("LMVN_BENCH_SLOPE")
+    assert bench._slope_config(run_n, _FakeJnp, 1) is None  # lo >= iters
