@@ -215,9 +215,13 @@ def _splitx_wanted() -> bool:
 def _splitx_eligible(x: int) -> bool:
     """Split-x factors X = 4*M DIF-style with M = X/4 kept MXU-friendly.
     Requires M % 16 == 0 (so the packed row layout lands exactly on the
-    Kxp stride: pad8(M/2+1) + M + M/2 == pad8(X/2+1)) and the 512-class
-    regime where the dense/fold x matmul is the FLOP hot spot."""
-    return x % 4 == 0 and (x // 4) % 16 == 0 and x >= 512
+    Kxp stride: pad8(M/2+1) + M + M/2 == pad8(X/2+1)) and X >= 256:
+    measured wins at BOTH bench classes on v5e (512^3: 15.95 vs 12.52
+    fold; 256^3: 128.4 vs 119.3 dense — the x-FLOP/VPU cut pays even at
+    the HBM-floor class, measure_r5b part D); below 256 the M < 64 stage
+    matmuls fall under quarter-tile MXU contraction and the dft engine
+    owns those shapes anyway."""
+    return x % 4 == 0 and (x // 4) % 16 == 0 and x >= 256
 
 
 def _make_splitx(X: int):

@@ -3,7 +3,13 @@
 
 Parts:
   C. standalone 512-class convolve ladder (dense / fold / splitx) — the
-     per-op attribution behind the RL-step slopes.
+     per-op attribution behind the RL-step slopes.  RELAY-HOSTILE (do
+     not run unattended): 512^3 standalone-convolve chain compiles are
+     the known relay-killer class (CLAUDE.md) — a python-unrolled
+     2-chain exceeded the remote-compile upload limit, and the lax.scan
+     variant broke the relay pipe after a ~25 min compile (round-5
+     session).  RL-step programs (part D / measure_r5 part A) remain the
+     safe and product-relevant measurement class.
   D. 256^3 splitx-FORCED RL A/B — the gate keeps X=256 on dense-x
      (HBM-floor regime); this measures whether that boundary is right.
      Forcing is done by widening _splitx_eligible in-process (no public
@@ -33,7 +39,7 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--parts", default="CD")
+    ap.add_argument("--parts", default="D")
     args = ap.parse_args()
 
     import jax

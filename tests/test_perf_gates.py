@@ -228,3 +228,26 @@ def test_splitx_default_beats_fold_at_512(tpu, monkeypatch):
         assert t_split < 1.05 * t_fold, (t_split, t_fold)
     finally:
         set_matmul_precision("highest")
+
+
+@requires_gates
+def test_splitx_default_not_slower_at_256(tpu, monkeypatch):
+    """Round-5 boundary measurement moved the split-x gate down to the
+    256 class: **128.4 vs 119.3 it/s** slopes at the 4-view headline
+    config (measure_r5b part D) — the x-FLOP/VPU cut pays even at the
+    HBM-floor class.  Catch the default flipping or split-x regressing
+    below dense-x there."""
+    from libmultiviewnative_tpu.core.dft import set_matmul_precision
+
+    set_matmul_precision("high")
+    try:
+        kw = dict(shape=(256, 256, 256), V=2, iters=5, algorithm="fused")
+        t_split = _time_rl_env(
+            monkeypatch, {"LMVN_FUSED_SPLITX": "1"}, **kw
+        )
+        t_dense = _time_rl_env(
+            monkeypatch, {"LMVN_FUSED_SPLITX": "0"}, **kw
+        )
+        assert t_split < 1.05 * t_dense, (t_split, t_dense)
+    finally:
+        set_matmul_precision("highest")

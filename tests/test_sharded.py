@@ -440,3 +440,44 @@ def test_sharded_sequential_scalar_weights_and_tikhonov():
         )
     )
     assert rms(out, want) < 1e-5, rms(out, want)
+
+
+@pytest.mark.parametrize("vp,zp,view_order", [
+    (2, 2, "simultaneous"), (1, 4, "sequential"),
+])
+def test_sharded_fused_splitx_matches_single_device(monkeypatch, vp, zp,
+                                                    view_order):
+    """LMVN_FUSED_SPLITX=1 (the 256-class default under bf16_3x since
+    round 5) threads the hermitian DIF-split x stages through the mesh
+    strategies too — X=256 local extents, z-block overlap-save, both
+    view orders (sequential = the z-only parity mode)."""
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    make_fused_plan.cache_clear()
+    try:
+        shape = (16, 16, 256)
+        V = 2 if view_order == "sequential" else vp * 2
+        data = _fused_problem(V, shape)
+        psi0 = jnp.full(shape, float(jnp.mean(data.views)), jnp.float32)
+        want = np.asarray(
+            deconvolve_jit(
+                psi0.copy(), data, num_iterations=2, lam=0.006,
+                view_order=view_order, algorithm="fft",
+            )
+        )
+        mesh = make_mesh(
+            view_parallel=vp, z_parallel=zp,
+            devices=np.asarray(jax.devices()[: vp * zp]),
+        )
+        psi_s, data_s = shard_workspace(data, psi0, mesh)
+        out = np.asarray(
+            deconvolve_sharded(
+                psi_s, data_s, 2, mesh, lam=0.006, algorithm="fused",
+                view_order=view_order,
+            )
+        )
+        assert np.all(np.isfinite(out))
+        assert rms(out, want) < 1e-4, rms(out, want)
+    finally:
+        make_fused_plan.cache_clear()

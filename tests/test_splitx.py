@@ -11,8 +11,9 @@ conjugate mirror of block q=1 (computed once, full M rows).  MXU cost
 order that the kernel spectrum (forwarded by the same pipeline) matches
 automatically.
 
-Gate: the 512 class (X >= 512, X/4 % 16 == 0 — the row-layout
-invariant); other X fall back to fold/dense.  Env knob
+Gate: X >= 256 with X/4 % 16 == 0 (the row-layout invariant; measured
+wins at both the 256- and 512-class bench configs); other X fall back
+to fold/dense.  Env knob
 LMVN_FUSED_SPLITX, trace-time, fingerprinted into the public drivers'
 jit keys like every fused knob.
 """
@@ -101,24 +102,27 @@ def test_splitx_plane_batched_path(rng, monkeypatch):
 
 
 def test_splitx_gate_is_x512_only(monkeypatch):
-    """The knob only changes plans in the 512-class (X >= 512 with
-    X/4 % 16 == 0); everything below keeps its existing mode."""
+    """The knob only changes plans with X >= 256 and X/4 % 16 == 0
+    (both bench classes measured wins); everything below keeps its
+    existing mode."""
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
 
     monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
     make_fused_plan.cache_clear()
     assert make_fused_plan((8, 8, 512)).splitx
-    assert not make_fused_plan((8, 8, 256)).splitx  # below the 512 class
+    assert make_fused_plan((8, 8, 256)).splitx  # measured win at 256 too
     assert make_fused_plan((8, 8, 1024)).splitx  # M=256 meets the gate
+    assert not make_fused_plan((8, 8, 128)).splitx  # M=32 < 64
     assert not make_fused_plan((8, 8, 264)).splitx  # M%16 fails
     # splitx replaces fold on its shapes (one x mode per plan)
     p = make_fused_plan((8, 8, 512), fold_x=True)
     assert p.splitx and not p.fold
 
 
-def test_splitx_rl_step_matches_default(rng, monkeypatch):
+@pytest.mark.parametrize("X", [512, 256])
+def test_splitx_rl_step_matches_default(X, rng, monkeypatch):
     """Full fused RL view step agrees between split-x and default modes
-    (the composition the 512-class bench would run)."""
+    at both gated bench classes."""
     import jax
 
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
@@ -127,8 +131,8 @@ def test_splitx_rl_step_matches_default(rng, monkeypatch):
         make_fused_plan,
     )
 
-    shape = (8, 16, 512)  # (Z, Y, X)
-    shape_t = (8, 512, 16)
+    shape = (8, 16, X)  # (Z, Y, X)
+    shape_t = (8, X, 16)
     view = jnp.asarray(rng.gamma(2.0, 10.0, shape_t).astype(np.float32))
     psi = jnp.asarray(np.full(shape_t, 40.0, np.float32))
     k1 = gaussian_kernel((5, 5, 5), 1.0)
@@ -204,7 +208,8 @@ def test_splitx_auto_gate(monkeypatch):
         set_matmul_precision("high")
         make_fused_plan.cache_clear()
         assert make_fused_plan((8, 8, 512)).splitx
-        assert not make_fused_plan((8, 8, 256)).splitx
+        assert make_fused_plan((8, 8, 256)).splitx
+        assert not make_fused_plan((8, 8, 128)).splitx
         set_matmul_precision("highest")
         make_fused_plan.cache_clear()
         assert not make_fused_plan((8, 8, 512)).splitx
@@ -220,6 +225,23 @@ def test_splitx_x1024_matches_oracle(shape, rng, monkeypatch):
     row-layout invariant pad0 + M + M/2 == Kxp = 520 holds there too)
     and the non-power-of-two X=768 (M=192)."""
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+    from libmultiviewnative_tpu.reference.numpy_ref import (
+        np_convolve_spectrum,
+        np_wrap_kernel,
+    )
+
+    x, k, got = _convolve(shape, rng, monkeypatch, splitx=True)
+    ref = np_convolve_spectrum(
+        x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 256), (8, 128, 256)], ids=str)
+def test_splitx_x256_matches_oracle(shape, rng, monkeypatch):
+    """X=256 (M=64) joined the gate after the measured 128.4-vs-119.3
+    it/s win at the headline class (measure_r5b part D) — lock the
+    construction there too, per-plane and plane-batched."""
     from libmultiviewnative_tpu.reference.numpy_ref import (
         np_convolve_spectrum,
         np_wrap_kernel,
