@@ -505,8 +505,11 @@ def _make_fused_plan(
         kxp=kxp,
         fold=fold_x,
         hp=hp,
-        fxp2=None if (fold_x or splitx) else _np_split_bf16(fxp),
-        bxp2=None if (fold_x or splitx) else _np_split_bf16(bxp),
+        # presplit supports the dense AND split-x packs (the split-x
+        # row/col slicers _rows/_cols handle (hi, lo) pairs); fold's
+        # matrices stay f32 (its slices interleave with the fold rows)
+        fxp2=None if fold_x else _np_split_bf16(fxp),
+        bxp2=None if fold_x else _np_split_bf16(bxp),
         splitx=splitx,
     )
 
@@ -1789,14 +1792,16 @@ def _presplit_on(precision: str, plan) -> bool:
     plan-time bf16 hi/lo splits of every constant matrix instead of f32,
     removing the per-grid-step VPU split of loop-invariant operands from
     the bf16_3x critical path (the round-3 twfold win showed VPU stages
-    gate the MXU in the A/C passes).  Only meaningful under bf16_3x;
-    fold mode keeps f32 (its x matrices are row-sliced in-kernel)."""
+    gate the MXU in the A/C passes).  Only meaningful under bf16_3x.
+    Covers the dense AND split-x packs (round 5: the _rows/_cols pack
+    slicers handle (hi, lo) pairs, presplit+splitx bitwise-locked in
+    tests/test_splitx.py); fold mode keeps f32 (its x matrices
+    interleave row slices with the fold butterflies)."""
     import os as _os
 
     return (
         precision == "bf16_3x"
         and not plan.fold
-        and not plan.splitx
         and _os.environ.get("LMVN_FUSED_PRESPLIT", "0") == "1"
     )
 

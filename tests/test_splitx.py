@@ -252,3 +252,40 @@ def test_splitx_x256_matches_oracle(shape, rng, monkeypatch):
         x.astype(np.float64), np.fft.rfftn(np_wrap_kernel(k, shape))
     )
     assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_splitx_presplit_bitwise(rng, monkeypatch):
+    """LMVN_FUSED_PRESPLIT=1 under split-x feeds the plan-time bf16 hi/lo
+    splits of the split-x packs — bitwise-identical to the runtime-split
+    program (the split of a loop-invariant constant is deterministic)."""
+    import jax
+
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import (
+        fused_convolve_spectrum,
+        kernel_spectrum_fused,
+        make_fused_plan,
+    )
+
+    shape = (8, 8, 512)
+    x = (np.random.default_rng(42).normal(size=shape) + 3.0).astype(
+        np.float32
+    )
+    k = gaussian_kernel((5, 5, 5), 1.1)
+    outs = []
+    for pre in ("0", "1"):
+        monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+        monkeypatch.setenv("LMVN_FUSED_PRESPLIT", pre)
+        make_fused_plan.cache_clear()
+        jax.clear_caches()
+        kre, kim = kernel_spectrum_fused(
+            jnp.asarray(k), shape, precision="bf16_3x"
+        )
+        outs.append(
+            np.asarray(
+                fused_convolve_spectrum(
+                    jnp.asarray(x), kre, kim, interpret=True,
+                    precision="bf16_3x",
+                )
+            )
+        )
+    np.testing.assert_array_equal(outs[0], outs[1])
