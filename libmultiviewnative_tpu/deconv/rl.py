@@ -745,6 +745,61 @@ def _traced_lam_ok(spatial, algorithm, ndim, elementwise) -> bool:
         "adjoint_kernel2",
     ),
 )
+def _deconvolve_with_history(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    num_iterations: int,
+    lam: float = 0.0,
+    min_value: float = 1e-4,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
+):
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
+        track_convergence=True,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_iterations",
+        "view_order",
+        "algorithm",
+        "adjoint_kernel2",
+    ),
+)
+def _deconvolve_with_history_traced(
+    psi: jnp.ndarray,
+    data: MultiViewData,
+    lam: jnp.ndarray,
+    min_value: jnp.ndarray,
+    num_iterations: int,
+    view_order: str = "sequential",
+    algorithm: str = "fft",
+    adjoint_kernel2: bool = False,
+):
+    return deconvolve(
+        psi,
+        data,
+        num_iterations,
+        lam,
+        min_value,
+        view_order,
+        algorithm,
+        adjoint_kernel2,
+        track_convergence=True,
+    )
+
+
 def deconvolve_with_history(
     psi: jnp.ndarray,
     data: MultiViewData,
@@ -760,10 +815,25 @@ def deconvolve_with_history(
     build externally around the reference's psi_i snapshots
     (tests/tiff_fixtures.hpp:453-462), computed in-graph for free.
 
+    λ/min_value are runtime operands on the fft/dft/direct engines
+    (round 5: a convergence-monitored λ-tuning sweep compiles once, the
+    same contract as :func:`deconvolve_jit`).
+
     Returns (psi, deltas) with deltas shaped (num_iterations,).
     """
-
-    return deconvolve(
+    spatial = tuple(int(s) for s in psi.shape[-3:])
+    if _traced_lam_ok(spatial, algorithm, psi.ndim, "jnp"):
+        return _deconvolve_with_history_traced(
+            psi,
+            data,
+            jnp.float32(lam),
+            jnp.float32(min_value),
+            num_iterations,
+            view_order,
+            algorithm,
+            adjoint_kernel2,
+        )
+    return _deconvolve_with_history(
         psi,
         data,
         num_iterations,
@@ -772,8 +842,17 @@ def deconvolve_with_history(
         view_order,
         algorithm,
         adjoint_kernel2,
-        track_convergence=True,
     )
+
+
+def _history_cache_size():
+    return (
+        _deconvolve_with_history._cache_size()
+        + _deconvolve_with_history_traced._cache_size()
+    )
+
+
+deconvolve_with_history._cache_size = _history_cache_size
 
 
 @jax.tree_util.register_pytree_node_class

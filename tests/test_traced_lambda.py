@@ -171,3 +171,21 @@ def test_sharded_lambda_sweep_compiles_once(rng, view_order):
         # 5e-5 convention), not a λ-path discrepancy
         assert float(np.sqrt(np.mean((got - want) ** 2))) < 5e-5
     assert deconvolve_sharded_jit._cache_size() == n0
+
+
+def test_history_lambda_sweep_compiles_once(rng):
+    """deconvolve_with_history shares the traced-λ contract (a
+    convergence-monitored λ-tuning sweep compiles once)."""
+    from libmultiviewnative_tpu.deconv.rl import deconvolve_with_history
+
+    data, psi0 = _problem(rng)
+    deconvolve_with_history(psi0.copy(), data, 3, lam=0.0)
+    n0 = deconvolve_with_history._cache_size()
+    deltas = {}
+    for lam in (0.0, 0.006, 0.05):
+        psi, d = deconvolve_with_history(psi0.copy(), data, 3, lam=lam)
+        deltas[lam] = np.asarray(d)
+        assert np.asarray(d).shape == (3,)
+    assert deconvolve_with_history._cache_size() == n0
+    # λ actually changes the convergence trace
+    assert abs(deltas[0.05][-1] - deltas[0.0][-1]) > 0
