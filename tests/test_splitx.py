@@ -218,12 +218,13 @@ def test_splitx_auto_gate(monkeypatch):
         make_fused_plan.cache_clear()
 
 
-@pytest.mark.parametrize("shape", [(8, 8, 1024), (8, 8, 768)], ids=str)
+@pytest.mark.parametrize("shape", [(8, 8, 1024), (8, 8, 768), (8, 8, 384)], ids=str)
 def test_splitx_x1024_matches_oracle(shape, rng, monkeypatch):
     """The gate admits any X >= 512 with X/4 % 16 == 0 — lock the
-    generic-M construction beyond 512: X=1024 (M=256, pad0=136; the
-    row-layout invariant pad0 + M + M/2 == Kxp = 520 holds there too)
-    and the non-power-of-two X=768 (M=192)."""
+    generic-M construction across the gate: X=1024 (M=256, pad0=136;
+    the row-layout invariant pad0 + M + M/2 == Kxp = 520 holds there
+    too), the non-power-of-two X=768 (M=192), and the 384 class
+    (M=96)."""
     from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
     from libmultiviewnative_tpu.reference.numpy_ref import (
         np_convolve_spectrum,
