@@ -77,8 +77,8 @@ def main():
     psi0 = initial_psi(data, "average")
 
     print(f"{'lambda':>10}  {'rmse vs truth':>14}  cache")
-    n0 = None
-    best = (None, np.inf)
+    n0 = deconvolve_prepared._cache_size()  # before the loop: the first
+    best = (None, np.inf)                   # row shows its real compile
     for lam in (0.0, 1e-3, 3e-3, 6e-3, 1e-2, 3e-2, 1e-1):
         out = np.asarray(
             deconvolve_prepared(
@@ -88,8 +88,6 @@ def main():
         )
         rmse = float(np.sqrt(np.mean((out - phantom) ** 2)))
         n = deconvolve_prepared._cache_size()
-        if n0 is None:
-            n0 = n
         print(f"{lam:>10.4g}  {rmse:>14.4f}  "
               f"{'compiled' if n != n0 else 'reused'}")
         n0 = n

@@ -244,26 +244,36 @@ def deconvolve_auto(
                 sharded_fused_eligible,
             )
 
-            trace_print(
-                f"dispatch: sequential parity on z-only mesh "
-                f"{dict(mesh.shape)} (est {est>>20} MiB over "
-                f"{mesh.shape['z']} devices)"
-            )
             supported = ("fft", "dft", "auto") + (
                 ("fused",)
                 if sharded_fused_eligible(data.spatial_shape, mesh)
                 else ()
             )
-            psi_s, data_s = shard_workspace(data, psi, mesh)
-            return deconvolve_sharded_jit(
-                psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
-                lam=lam, min_value=min_value,
-                algorithm=demote("z-only mesh-sharded", supported),
-                elementwise=elementwise, view_order="sequential",
+            if algorithm in supported:
+                trace_print(
+                    f"dispatch: sequential parity on z-only mesh "
+                    f"{dict(mesh.shape)} (est {est>>20} MiB over "
+                    f"{mesh.shape['z']} devices)"
+                )
+                psi_s, data_s = shard_workspace(data, psi, mesh)
+                return deconvolve_sharded_jit(
+                    psi_s, data_s, num_iterations=num_iterations, mesh=mesh,
+                    lam=lam, min_value=min_value, algorithm=algorithm,
+                    elementwise=elementwise, view_order="sequential",
+                )
+            # an engine this rung cannot honor (e.g. 'direct') falls
+            # THROUGH — the sequential streaming rungs below honor both
+            # the view order and the engine, which beats demoting here
+            # (round-5 review: demoting lost fidelity a lower rung had)
+            trace_print(
+                f"dispatch: z-only mesh cannot honor algorithm="
+                f"{algorithm!r}; trying lower rungs"
             )
-        trace_print(
-            "dispatch: no z-only factorization for the sequential request"
-        )
+        else:
+            trace_print(
+                "dispatch: no z-only factorization for the sequential "
+                "request"
+            )
 
     if n_dev > 1 and est < cap * n_dev:
         mesh = _pick_mesh(data.num_views, data.spatial_shape[0], n_dev)

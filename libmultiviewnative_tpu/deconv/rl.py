@@ -330,6 +330,17 @@ def deconvolve(
                 f"{spatial}"
             )
         algorithm = prepared.algorithm
+        if algorithm == "fused" and prepared.xmode is not None:
+            cur = _fused_xmode(spatial)
+            if cur != prepared.xmode:
+                raise ValueError(
+                    "prepared fused spectra were forwarded under the "
+                    f"'{prepared.xmode}' x-row layout but the current "
+                    f"knob/precision state selects '{cur}' "
+                    "(LMVN_FUSED_SPLITX or the matmul precision changed "
+                    "since prepare_workspace) — re-prepare the workspace "
+                    "under the current state"
+                )
         adjoint_kernel2 = False  # baked into prepared.k2 at prepare time
     if adjoint_kernel2:
         # The true adjoint kernel has center k-1-(k//2), which equals the
@@ -743,6 +754,7 @@ def _traced_lam_ok(spatial, algorithm, ndim, elementwise) -> bool:
         "view_order",
         "algorithm",
         "adjoint_kernel2",
+        "knobs",
     ),
 )
 def _deconvolve_with_history(
@@ -754,7 +766,9 @@ def _deconvolve_with_history(
     view_order: str = "sequential",
     algorithm: str = "fft",
     adjoint_kernel2: bool = False,
+    knobs: tuple = None,
 ):
+    del knobs  # jit cache key only (see _knob_fingerprint)
     return deconvolve(
         psi,
         data,
@@ -775,6 +789,7 @@ def _deconvolve_with_history(
         "view_order",
         "algorithm",
         "adjoint_kernel2",
+        "knobs",
     ),
 )
 def _deconvolve_with_history_traced(
@@ -786,7 +801,9 @@ def _deconvolve_with_history_traced(
     view_order: str = "sequential",
     algorithm: str = "fft",
     adjoint_kernel2: bool = False,
+    knobs: tuple = None,
 ):
+    del knobs  # jit cache key only (see _knob_fingerprint)
     return deconvolve(
         psi,
         data,
@@ -832,6 +849,7 @@ def deconvolve_with_history(
             view_order,
             algorithm,
             adjoint_kernel2,
+            knobs=_knob_fingerprint(),
         )
     return _deconvolve_with_history(
         psi,
@@ -842,6 +860,7 @@ def deconvolve_with_history(
         view_order,
         algorithm,
         adjoint_kernel2,
+        knobs=_knob_fingerprint(),
     )
 
 
@@ -855,6 +874,19 @@ def _history_cache_size():
 deconvolve_with_history._cache_size = _history_cache_size
 
 
+def _fused_xmode(spatial) -> str:
+    """The x-row LAYOUT of fused spectra for this shape under the CURRENT
+    trace-time knob/precision state: 'splitx' (permuted [b0|b1|b2] block
+    rows) or 'standard' (natural hermitian order; dense and fold share
+    it).  Spectra prepared under one layout are GARBAGE under the other —
+    PreparedSpectra records it and deconvolve validates at use time
+    (round-5 review finding: a set_matmul_precision or LMVN_FUSED_SPLITX
+    flip between prepare and use silently corrupted results)."""
+    from ..ops.pallas.fused_dft2 import make_fused_plan
+
+    return "splitx" if make_fused_plan(tuple(spatial)).splitx else "standard"
+
+
 @jax.tree_util.register_pytree_node_class
 class PreparedSpectra:
     """Pre-forwarded kernel spectra bound to an (algorithm, shape) pair.
@@ -862,20 +894,24 @@ class PreparedSpectra:
     The serving-path plan store: the reference re-runs its kernel-FFT setup
     on every ``inplace_cpu_deconvolve`` call (src/multiviewnative.cpp:146-174);
     preparing once and reusing across calls removes that cost for repeated
-    deconvolutions with fixed PSFs (time-lapse processing)."""
+    deconvolutions with fixed PSFs (time-lapse processing).
 
-    def __init__(self, algorithm: str, spatial, k1, k2):
+    ``xmode`` tags the fused spectra's x-row layout (see
+    :func:`_fused_xmode`); None for the fft/dft engines."""
+
+    def __init__(self, algorithm: str, spatial, k1, k2, xmode: str = None):
         self.algorithm = algorithm
         self.spatial = tuple(spatial)
         self.k1 = k1
         self.k2 = k2
+        self.xmode = xmode
 
     def tree_flatten(self):
-        return (self.k1, self.k2), (self.algorithm, self.spatial)
+        return (self.k1, self.k2), (self.algorithm, self.spatial, self.xmode)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], aux[1], *children)
+        return cls(aux[0], aux[1], *children, xmode=aux[2])
 
 
 def prepare_workspace(
@@ -931,7 +967,8 @@ def prepare_workspace(
         raise ValueError(
             f"prepare_workspace supports fft/dft/fused, not {algorithm!r}"
         )
-    return PreparedSpectra(algorithm, spatial, k1, k2)
+    xmode = _fused_xmode(spatial) if algorithm == "fused" else None
+    return PreparedSpectra(algorithm, spatial, k1, k2, xmode=xmode)
 
 
 @partial(

@@ -10,10 +10,10 @@ Parts:
      variant broke the relay pipe after a ~25 min compile (round-5
      session).  RL-step programs (part D / measure_r5 part A) remain the
      safe and product-relevant measurement class.
-  D. 256^3 splitx-FORCED RL A/B — the gate keeps X=256 on dense-x
-     (HBM-floor regime); this measures whether that boundary is right.
-     Forcing is done by widening _splitx_eligible in-process (no public
-     knob reaches X<512 by design).
+  D. 256^3 splitx-vs-dense RL A/B.  HISTORICAL NOTE: this measurement
+     (128.4 vs 119.3 it/s) is what moved the production gate DOWN to
+     X >= 256 (commit a0af744) — the baseline arm now pins SPLITX=0 so
+     re-runs still compare the two real modes.
 
 Serialize with other TPU processes.  Run:
   python -u scripts/measure_r5b.py --parts CD 2>&1 | tee -a docs/measure_r5.out
@@ -157,8 +157,11 @@ def main():
                 )
                 os.environ["LMVN_FUSED_SPLITX"] = "1"
             else:
+                # dense-x baseline: pin splitx OFF (since a0af744 the
+                # default at 256 IS splitx — 'default' would otherwise
+                # measure the same program as the forced arm)
                 fd._splitx_eligible = orig_elig
-                os.environ.pop("LMVN_FUSED_SPLITX", None)
+                os.environ["LMVN_FUSED_SPLITX"] = "0"
             fd.make_fused_plan.cache_clear()
             jax.clear_caches()
 
@@ -173,8 +176,8 @@ def main():
             return 10 / (t2 - t1)
 
         try:
-            s_def = slope("default")
-            log(f"D: 256^3 4-view default (dense-x): slope {s_def:.2f} it/s")
+            s_def = slope("dense")
+            log(f"D: 256^3 4-view dense-x (SPLITX=0): slope {s_def:.2f} it/s")
             s_sx = slope("splitx-forced")
             log(
                 f"D: 256^3 4-view splitx-FORCED: slope {s_sx:.2f} it/s "

@@ -70,11 +70,6 @@ def test_bench_slope_helper(monkeypatch):
 
     def run_n(n):
         calls.append(n)
-        t0 = bench.time.perf_counter
-
-        class _T:
-            pass
-
         return 0.0
 
     # emulate timing by monkeypatching perf_counter around a deterministic

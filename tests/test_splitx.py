@@ -290,3 +290,46 @@ def test_splitx_presplit_bitwise(rng, monkeypatch):
             )
         )
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_prepared_fused_spectra_reject_layout_flip(rng, monkeypatch):
+    """Round-5 review finding: fused spectra prepared under one x-row
+    layout (split-x permuted vs standard) are GARBAGE under the other —
+    a LMVN_FUSED_SPLITX or matmul-precision flip between
+    prepare_workspace and deconvolve_prepared must raise, not silently
+    corrupt."""
+    import jax
+
+    from libmultiviewnative_tpu.deconv.rl import (
+        deconvolve_prepared,
+        prepare_workspace,
+    )
+    from libmultiviewnative_tpu.deconv.workspace import MultiViewData
+    from libmultiviewnative_tpu.ops.pallas.fused_dft2 import make_fused_plan
+
+    shape = (8, 8, 256)
+    V = 2
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    k1 = np.stack([gaussian_kernel((5, 5, 5), 1.0 + 0.3 * v) for v in range(V)])
+    data = MultiViewData(
+        jnp.asarray(views), jnp.asarray(k1),
+        jnp.asarray(np.flip(k1, axis=(1, 2, 3)).copy()),
+        jnp.full((V,), 1.0 / V, jnp.float32),
+    )
+    psi0 = jnp.full(shape, float(views.mean()), jnp.float32)
+
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "1")
+    make_fused_plan.cache_clear()
+    prepared = prepare_workspace(data, shape, algorithm="fused")
+    assert prepared.xmode == "splitx"
+    # same layout state: runs fine
+    out = np.asarray(
+        deconvolve_prepared(psi0 + 0, data, prepared, 1, lam=0.006)
+    )
+    assert np.all(np.isfinite(out))
+    # layout flip between prepare and use: must raise loudly
+    monkeypatch.setenv("LMVN_FUSED_SPLITX", "0")
+    make_fused_plan.cache_clear()
+    jax.clear_caches()
+    with pytest.raises(ValueError, match="x-row layout"):
+        deconvolve_prepared(psi0 + 0, data, prepared, 1, lam=0.006)
