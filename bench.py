@@ -297,9 +297,20 @@ def main():
             adjoint_kernel2=True,
         )
 
-    run512 = lambda: run512_n(iters2)
-    value = _time_config(run512, jnp, iters2, reps=2)
-    slope = _slope_config(run512_n, jnp, iters2)
+    # a transient TPU-worker/relay failure in the heaviest config must
+    # not invalidate the two headline lines already emitted — report the
+    # failure as a comment and exit cleanly (the artifact stays parseable)
+    try:
+        run512 = lambda: run512_n(iters2)
+        value = _time_config(run512, jnp, iters2, reps=2)
+        slope = _slope_config(run512_n, jnp, iters2)
+    except Exception as e:  # pragma: no cover - hardware-transient path
+        print(
+            f"# 512^3 config failed ({type(e).__name__}): "
+            f"{str(e)[:200]}",
+            flush=True,
+        )
+        return
     _emit(
         f"rl_deconv_iters_per_sec_{V}view_{shape[0]}cubed",
         value,
