@@ -125,14 +125,19 @@ import functools
 @functools.lru_cache(maxsize=4)
 def _update_fns(elementwise: str):
     """Jitted update programs for one elementwise mode ('jnp' XLA-fused
-    chain or 'pallas' single-pass kernel), cached across calls."""
+    chain or 'pallas' single-pass kernel), cached across calls.
+
+    Round 5: λ/min_value are runtime operands for the jnp chain (λ
+    sweeps reuse one program; the pallas kernel keeps them static)."""
     from .rl import _select_rl_update
 
     update = _select_rl_update(elementwise)
+    stat = ("z0",) if elementwise == "jnp" else ("z0", "lam", "min_value")
+    stat_s = () if elementwise == "jnp" else ("lam", "min_value")
 
     @partial(
         jax.jit,
-        static_argnames=("z0", "lam", "min_value"),
+        static_argnames=stat,
         donate_argnums=(0,),
     )
     def _update_chunk(psi, integral, w_chunk, z0: int, lam: float, min_value: float):
@@ -143,7 +148,7 @@ def _update_fns(elementwise: str):
             psi, update(pz, iz, w_chunk, lam, min_value), z0, axis=0
         )
 
-    @partial(jax.jit, static_argnames=("lam", "min_value"), donate_argnums=(0,))
+    @partial(jax.jit, static_argnames=stat_s, donate_argnums=(0,))
     def _update_scalar(psi, integral, w, lam: float, min_value: float):
         # scalar w broadcasts inside the update fn (the pallas variant
         # materializes it itself; the jnp chain fuses it away)

@@ -145,26 +145,39 @@ import functools
 @functools.lru_cache(maxsize=4)
 def _update_chunk_fns(elementwise: str):
     """Jitted pass-B chunk programs for one elementwise mode (cached so
-    repeated deconvolve_streamed calls reuse the same jit cache)."""
+    repeated deconvolve_streamed calls reuse the same jit cache).
+
+    Round 5: for the jnp elementwise chain, λ/min_value are RUNTIME
+    operands (a λ sweep on the streamed rung reuses one chunk program
+    per extent, the same contract as every in-core driver); the pallas
+    elementwise kernel keeps them trace-static."""
     from .rl import _select_rl_update
 
-    return _make_update_chunk(_select_rl_update(elementwise))
+    return _make_update_chunk(
+        _select_rl_update(elementwise), traced_lam=(elementwise == "jnp")
+    )
 
 
-def _make_update_chunk(update_fn):
-    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+def _make_update_chunk(update_fn, traced_lam: bool = False):
+    stat = (
+        ("out_z", "lo")
+        if traced_lam
+        else ("lam", "min_value", "out_z", "lo")
+    )
+
+    @partial(jax.jit, static_argnames=stat)
     def _upd_fft(ext, k_hat, psi_c, w_c, lam, min_value, out_z, lo):
         integral = convolve_spectrum(ext, k_hat)
         integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)
         return update_fn(psi_c, integral, w_c, lam, min_value)
 
-    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+    @partial(jax.jit, static_argnames=stat)
     def _upd_dft(ext, k_re, k_im, psi_c, w_c, lam, min_value, out_z, lo):
         integral = dft_convolve_spectrum(ext, k_re, k_im)
         integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)
         return update_fn(psi_c, integral, w_c, lam, min_value)
 
-    @partial(jax.jit, static_argnames=("lam", "min_value", "out_z", "lo"))
+    @partial(jax.jit, static_argnames=stat)
     def _upd_direct(ext, kernel, psi_c, w_c, lam, min_value, out_z, lo):
         integral = direct_convolve3d(ext, kernel, mode="circular")
         integral = jax.lax.slice_in_dim(integral, lo, lo + out_z, axis=0)

@@ -189,3 +189,46 @@ def test_history_lambda_sweep_compiles_once(rng):
     assert deconvolve_with_history._cache_size() == n0
     # λ actually changes the convergence trace
     assert abs(deltas[0.05][-1] - deltas[0.0][-1]) > 0
+
+
+def test_streamed_rung_lambda_sweep_compiles_once(rng):
+    """Round 5: the streamed out-of-core rung's chunk programs also take
+    λ/min_value as runtime operands (jnp elementwise) — a λ sweep reuses
+    one compiled chunk program per extent."""
+    from libmultiviewnative_tpu.deconv.streamed import (
+        _update_chunk_fns,
+        deconvolve_streamed,
+    )
+
+    V, shape = 2, (16, 8, 8)
+    views = rng.gamma(2.0, 20.0, (V,) + shape).astype(np.float32)
+    k1 = [gaussian_kernel((3, 3, 3), 1.0 + 0.2 * v) for v in range(V)]
+    k2 = [np.flip(k).copy() for k in k1]
+    w = [np.full(shape, 1.0 / V, np.float32)] * V
+    psi0 = np.full(shape, float(views.mean()), np.float32)
+
+    fns = _update_chunk_fns("jnp")
+    outs = {}
+    n0 = None
+    for lam in (0.0, 0.006, 0.05):
+        outs[lam] = deconvolve_streamed(
+            psi0.copy(), list(views), k1, k2, w, 2, lam, 1e-4,
+            chunk_z=8, algorithm="fft",
+        )
+        n = fns["fft"]._cache_size()
+        if n0 is None:
+            n0 = n
+        assert n == n0  # no per-λ recompiles after the first
+    assert np.abs(outs[0.05] - outs[0.0]).max() > 0
+    # values match the in-core traced-λ driver
+    data = MultiViewData(
+        jnp.asarray(views), jnp.asarray(np.stack(k1)),
+        jnp.asarray(np.stack(k2)), jnp.asarray(np.stack(w)),
+    )
+    want = np.asarray(
+        deconvolve_jit(
+            jnp.asarray(psi0), data, 2, lam=0.006, algorithm="fft"
+        )
+    )
+    rms = float(np.sqrt(np.mean((outs[0.006] - want) ** 2)))
+    assert rms < 1e-5, rms
